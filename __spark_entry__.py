@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: full quality-filter pipeline (native gates +
+               vectorized langid/perplexity/scrub UDFs) over the
+               sf0.001 documents table.
+queries()    — every implemented operator (SURVEY.md §2 + the
+               training-data ops) as (spark, sf_dir) -> DataFrame.
+oracle_sql() — DuckDB twins for the SQL-expressible subset; pipeline
+               stages that require Python-`re`/langid/perplexity
+               semantics are rows-only by design (their correctness
+               gate is tests/test_pipeline_parity.py vs the
+               single-node labeler instead).
 """
 
 from __future__ import annotations
@@ -12,27 +17,57 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataprof_spark import queries as _q
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-document keep/drop decisions + scrubbed text on
+    the sf0.001 documents table (url := doc_id as string)."""
+    from dataprof_spark.operators import gates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+        "lang",
+    )
+    return gates.decide(pages, ts_col=None)
+
+
+def _pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (langid + perplexity + scrub UDFs) — rows-only."""
+    from dataprof_spark.operators import gates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    out = gates.decide(pages, ts_col=None)
+    # maps are awkward to hash-compare; surface counts as columns
+    return out.select(
+        "url",
+        "keep",
+        "drop_reason",
+        "scrubbed_text",
+        F.col("scrub_counts")["email"].alias("scrub_email"),
+        F.col("scrub_counts")["phone"].alias("scrub_phone"),
+        F.col("scrub_counts")["ip"].alias("scrub_ip"),
+        F.col("scrub_counts")["blocklist"].alias("scrub_blocklist"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in _q.registry().items()}
+    out["pipeline_decisions"] = _pipeline_decisions
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql
+        for name, (_fn, sql) in _q.registry().items()
+        if sql is not None
+    }

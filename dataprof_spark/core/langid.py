@@ -1,0 +1,64 @@
+"""Deterministic n-gram language identification (fastText stand-in).
+
+The sandbox has no fastText; this is a dependency-free, fully
+deterministic scorer with the same call signature a fastText wrapper
+would have (``predict(text) -> (lang, score)``), so the model can be
+swapped in production without touching the pipeline.
+
+Model: per-language character-trigram profiles derived from the
+stopword lexicons in config.STOPWORDS_BY_LANG, plus whole-token
+stopword hits (weighted higher). Score(lang) =
+``2*token_hits + trigram_hits``; predicted language = argmax with
+alphabetical tie-break; 'und' when every score is 0.
+
+Both the labeler and the Spark pandas UDF call :func:`predict` —
+identical predictions by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+from dataprof_spark import config
+
+_TOKEN_RE = re.compile(r"[a-zà-ÿ]+")
+
+
+def _trigrams(word: str) -> set[str]:
+    padded = f" {word} "
+    return {padded[i : i + 3] for i in range(len(padded) - 2)}
+
+
+def _build_profiles() -> dict[str, tuple[frozenset, frozenset]]:
+    profiles = {}
+    for lang, words in config.STOPWORDS_BY_LANG.items():
+        tris: set[str] = set()
+        for w in words:
+            tris |= _trigrams(w)
+        profiles[lang] = (frozenset(words), frozenset(tris))
+    return profiles
+
+
+_PROFILES = _build_profiles()
+
+
+def score(text: str) -> dict[str, float]:
+    """Per-language scores for one document."""
+    tokens = _TOKEN_RE.findall(text.lower())
+    scores = {lang: 0.0 for lang in _PROFILES}
+    for tok in tokens:
+        tok_tris = _trigrams(tok)
+        for lang, (words, tris) in _PROFILES.items():
+            if tok in words:
+                scores[lang] += 2.0
+            scores[lang] += len(tok_tris & tris) / max(len(tok_tris), 1)
+    return scores
+
+
+def predict(text: str) -> tuple[str, float]:
+    """(language, score); 'und' if nothing matched at all."""
+    scores = score(text)
+    best = max(sorted(scores), key=lambda l: scores[l])
+    if scores[best] <= 0.0:
+        return "und", 0.0
+    return best, scores[best]

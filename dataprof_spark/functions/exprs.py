@@ -1,0 +1,203 @@
+"""Native-Spark twins of dataprof_spark.core.textsignals.
+
+Every expression here is built from `pyspark.sql.functions` only — it
+stays inside whole-stage codegen, shuffles nothing, and is exactly the
+kind of per-row projection that scales linearly to 100 TB. The regex
+patterns are restricted to constructs with identical semantics in
+Java regex (Spark), RE2 (DuckDB oracle), and Python `re` (labeler):
+plain character classes, non-capturing groups, `\\b` on ASCII text.
+
+Parity is enforced by tests/test_exprs_parity.py (Spark expression vs
+pure-Python function on the same rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dataprof_spark import config
+
+# Canonical pattern strings — single source for Spark, DuckDB oracle
+# SQL, and (via core/textsignals.py) Python re.
+WORD_PAT = "[A-Za-z]+"
+NON_LETTER_PAT = "[^A-Za-z]"
+SYMBOL_PAT = "[^A-Za-z0-9\\s]"
+ELLIPSIS_PAT = "\\.\\.\\."
+STOPWORD_PAT = "\\b(?:" + "|".join(config.STOPWORDS_EN) + ")\\b"
+MOJIBAKE_PAT = "�|Ã¡|Ã©|Ã­|Ã³|Ãº|Ã±|Ã¨"
+
+EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PAT = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+IPV4_PAT = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+
+def word_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(WORD_PAT)).cast("long")
+
+
+def letter_count(c: Column) -> Column:
+    return F.length(F.regexp_replace(c, NON_LETTER_PAT, "")).cast("long")
+
+
+def mean_word_length(c: Column) -> Column:
+    wc = word_count(c)
+    return F.when(wc > 0, letter_count(c) / wc).otherwise(F.lit(0.0))
+
+
+def symbol_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(SYMBOL_PAT)).cast("long")
+
+
+def symbol_ratio(c: Column) -> Column:
+    n = F.length(c)
+    return F.when(n > 0, symbol_count(c) / n).otherwise(F.lit(0.0))
+
+
+def ellipsis_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(ELLIPSIS_PAT)).cast("long")
+
+
+def stopword_count(c: Column) -> Column:
+    return F.regexp_count(F.lower(c), F.lit(STOPWORD_PAT)).cast("long")
+
+
+def stopword_ratio(c: Column) -> Column:
+    wc = word_count(c)
+    return F.when(wc > 0, stopword_count(c) / wc).otherwise(F.lit(0.0))
+
+
+def line_count(c: Column) -> Column:
+    return F.size(F.split(c, "\n", -1)).cast("long")
+
+
+def distinct_line_count(c: Column) -> Column:
+    return F.size(F.array_distinct(F.split(c, "\n", -1))).cast("long")
+
+
+def dup_line_fraction(c: Column) -> Column:
+    total = line_count(c)
+    return F.when(
+        total > 0, 1.0 - distinct_line_count(c) / total
+    ).otherwise(F.lit(0.0))
+
+
+def mojibake_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(MOJIBAKE_PAT)).cast("long")
+
+
+def email_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(EMAIL_PAT)).cast("long")
+
+
+def phone_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(PHONE_PAT)).cast("long")
+
+
+def ipv4_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(IPV4_PAT)).cast("long")
+
+
+def heuristic_reason(c: Column, *, english: Column | bool = True) -> Column:
+    """First-failing-gate drop reason (native twin of
+    core.gates.heuristic_reason); NULL when the document passes.
+    NULL text is normalized to empty (drops as too_short), matching
+    the labeler."""
+    c = F.coalesce(c, F.lit(""))
+    eng = F.lit(english) if isinstance(english, bool) else english
+    wc = word_count(c)
+    mwl = mean_word_length(c)
+    return (
+        F.when(mojibake_count(c) > 0, F.lit("garbled_encoding"))
+        .when(wc < config.MIN_WORDS, F.lit("too_short"))
+        .when(
+            (mwl < config.MEAN_WORD_LEN_MIN)
+            | (mwl > config.MEAN_WORD_LEN_MAX),
+            F.lit("mean_word_length"),
+        )
+        .when(symbol_ratio(c) > config.MAX_SYMBOL_RATIO, F.lit("symbol_ratio"))
+        .when(
+            ellipsis_count(c) / wc > config.MAX_ELLIPSIS_PER_WORD,
+            F.lit("ellipsis_ratio"),
+        )
+        .when(
+            eng & (stopword_count(c) < config.MIN_STOPWORD_COUNT),
+            F.lit("stopword_ratio"),
+        )
+        .when(
+            dup_line_fraction(c) > config.MAX_DUP_LINE_FRACTION,
+            F.lit("dup_line_fraction"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def token_set_hits(c: Column, words: tuple[str, ...]) -> Column:
+    """Count whitespace-split lowercase tokens that are in `words`.
+
+    Used by the stopword-langid: regex `\\b` is deliberately avoided
+    because its word-char definition differs between Python re
+    (unicode) and Java/RE2 (ASCII) for words like 'più'. A split+filter
+    is identical in all three engines.
+    """
+    toks = F.split(F.lower(c), r"\s+", -1)
+    return F.size(
+        F.filter(toks, lambda x: x.isin(*words))
+    ).cast("long")
+
+
+def stopword_langid(c: Column) -> Column:
+    """SQL-expressible language ID: argmax of per-language stopword
+    token hits, alphabetical tie-break, 'und' when all zero. The
+    DuckDB twin is built by duckdb_langid_sql()."""
+    langs = sorted(config.STOPWORDS_BY_LANG)
+    scores = {l: token_set_hits(c, config.STOPWORDS_BY_LANG[l]) for l in langs}
+    mx = F.greatest(*scores.values())
+    expr = F.when(mx == 0, F.lit("und"))
+    for l in langs:
+        expr = expr.when(scores[l] == mx, F.lit(l))
+    return expr
+
+
+def duckdb_langid_sql(text_expr: str = "text") -> str:
+    """DuckDB-SQL twin of stopword_langid()."""
+    langs = sorted(config.STOPWORDS_BY_LANG)
+
+    def hits(l: str) -> str:
+        words = ", ".join(f"'{w}'" for w in config.STOPWORDS_BY_LANG[l])
+        return (
+            f"len(list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+            f" x -> x in ({words})))"
+        )
+
+    score_exprs = {l: hits(l) for l in langs}
+    mx = "greatest(" + ", ".join(score_exprs.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score_exprs[l]} = {mx} THEN '{l}'" for l in langs
+    )
+    return f"CASE WHEN {mx} = 0 THEN 'und' {cases} END"
+
+
+def nulllike(c: Column) -> Column:
+    """The reference's null-like predicate P1 (inference.rs:98-103):
+    NULL, empty, whitespace-only, 'null'/'nan' case-insensitive."""
+    t = F.trim(c)
+    return c.isNull() | (t == "") | F.lower(t).isin("null", "nan")
+
+
+def duckdb_signal_sql(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB-SQL fragments computing the SAME signals (RE2 dialect),
+    for oracle_sql() generation. Keys match the Spark column aliases."""
+    sw = STOPWORD_PAT.replace("\\", "\\")
+    return {
+        "word_count": f"len(regexp_extract_all({text_expr}, '{WORD_PAT}'))::BIGINT",
+        "letter_count": f"length(regexp_replace({text_expr}, '{NON_LETTER_PAT}', '', 'g'))::BIGINT",
+        "symbol_count": f"len(regexp_extract_all({text_expr}, '{SYMBOL_PAT}'))::BIGINT",
+        "ellipsis_count": f"len(regexp_extract_all({text_expr}, '{ELLIPSIS_PAT}'))::BIGINT",
+        "stopword_count": f"len(regexp_extract_all(lower({text_expr}), '{sw}'))::BIGINT",
+        "email_count": f"len(regexp_extract_all({text_expr}, '{EMAIL_PAT}'))::BIGINT",
+        "phone_count": f"len(regexp_extract_all({text_expr}, '{PHONE_PAT}'))::BIGINT",
+        "ipv4_count": f"len(regexp_extract_all({text_expr}, '{IPV4_PAT}'))::BIGINT",
+        "line_count": f"len(string_split({text_expr}, chr(10)))::BIGINT",
+        "distinct_line_count": f"len(list_distinct(string_split({text_expr}, chr(10))))::BIGINT",
+    }

@@ -1,0 +1,211 @@
+"""Document-level quality pipeline operators.
+
+Split by execution tier:
+- NATIVE: every countable signal and the heuristic gate cascade are
+  pure `pyspark.sql.functions` expressions (functions/exprs.py) —
+  whole-stage codegen, no Python.
+- VECTORIZED PYTHON (Arrow batches, never per-row): langid,
+  perplexity, and the byte-exact PII scrub. These call the SAME pure
+  functions as the single-node labeler (core/*), which is what makes
+  Spark output vs labeler output byte-identical by construction.
+
+At 100 TB the expensive stage is the pandas UDF projection; it is
+embarrassingly parallel (no shuffle at all — scan → project → write),
+so throughput scales with executors as long as input partitions are
+size-balanced; pipeline/run.py handles repartitioning and skew.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from dataprof_spark import config
+from dataprof_spark.functions import exprs
+
+
+# --------------------------------------------------------------- native
+def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append all native signal columns (one codegen'd projection)."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "word_count": exprs.word_count(c),
+            "mean_word_length": exprs.mean_word_length(c),
+            "symbol_ratio": exprs.symbol_ratio(c),
+            "ellipsis_count": exprs.ellipsis_count(c),
+            "stopword_count": exprs.stopword_count(c),
+            "dup_line_fraction": exprs.dup_line_fraction(c),
+            "mojibake_count": exprs.mojibake_count(c),
+        }
+    )
+
+
+def heuristic_reason_col(
+    text_col: str = "text", lang_col: str | None = "lang"
+) -> Column:
+    """Native first-failing-gate drop reason (NULL = pass)."""
+    english = (
+        F.col(lang_col) == "en" if lang_col is not None else F.lit(True)
+    )
+    return exprs.heuristic_reason(F.col(text_col), english=english)
+
+
+# ------------------------------------------------- vectorized pandas UDFs
+@pandas_udf(T.StringType())
+def langid_udf(texts: pd.Series) -> pd.Series:
+    from dataprof_spark.core import langid
+
+    return texts.map(lambda t: langid.predict(t or "")[0])
+
+
+@pandas_udf(T.DoubleType())
+def perplexity_udf(texts: pd.Series) -> pd.Series:
+    from dataprof_spark.core import perplexity
+
+    return texts.map(lambda t: perplexity.perplexity(t or ""))
+
+
+_SCRUB_SCHEMA = T.StructType(
+    [
+        T.StructField("scrubbed_text", T.StringType()),
+        T.StructField("email", T.IntegerType()),
+        T.StructField("phone", T.IntegerType()),
+        T.StructField("ip", T.IntegerType()),
+        T.StructField("blocklist", T.IntegerType()),
+    ]
+)
+
+
+@pandas_udf(_SCRUB_SCHEMA)
+def scrub_udf(texts: pd.Series) -> pd.DataFrame:
+    """Byte-exact scrub — the SAME core.scrub.scrub_text the labeler
+    uses (Python `re` end-to-end, SURVEY.md §7.3 hard-part #1)."""
+    from dataprof_spark.core import scrub
+
+    rows = []
+    for t in texts:
+        scrubbed, counts = scrub.scrub_text(t or "")
+        rows.append(
+            (
+                scrubbed,
+                counts["email"],
+                counts["phone"],
+                counts["ip"],
+                counts["blocklist"],
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["scrubbed_text", "email", "phone", "ip", "blocklist"]
+    )
+
+
+# ------------------------------------------------------------- pipeline
+def decide(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    url_col: str = "url",
+    ts_col: str | None = "warc_ts",
+    now_year: int = 2026,
+) -> DataFrame:
+    """Full decisions DataFrame (FIXTURES.md A2 schema).
+
+    Gate cascade = native heuristics, then langid agreement, then
+    perplexity ceiling — identical order and thresholds to the labeler
+    (core/gates.py). Quality score = renormalized weighted dimension
+    mean (reference quality.rs:395-411 recast per-document). The three
+    Python stages (langid, perplexity, scrub) run once per document as
+    Arrow-batched projections; everything else is codegen'd.
+    """
+    c = F.col(text_col)
+    sig = with_signals(df, text_col).withColumns(
+        {
+            "heur_reason": heuristic_reason_col(text_col, lang_col),
+            "pred_lang": langid_udf(c),
+            "ppl": perplexity_udf(c),
+            "_scrub": scrub_udf(c),
+        }
+    )
+    reason = (
+        F.when(F.col("heur_reason").isNotNull(), F.col("heur_reason"))
+        .when(F.col("pred_lang") != F.col(lang_col), F.lit("lang_mismatch"))
+        .when(F.col("ppl") > config.MAX_PERPLEXITY, F.lit("high_perplexity"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = sig.withColumns(
+        {
+            "drop_reason": reason,
+            "quality_score": quality_score_col(
+                text_col,
+                lang_col,
+                ts_col,
+                now_year,
+                pred_lang=F.col("pred_lang"),
+            ),
+        }
+    )
+    return out.select(
+        F.col(url_col).alias("url"),
+        F.col("drop_reason").isNull().alias("keep"),
+        "drop_reason",
+        F.col("_scrub.scrubbed_text").alias("scrubbed_text"),
+        F.create_map(
+            F.lit("email"), F.col("_scrub.email"),
+            F.lit("phone"), F.col("_scrub.phone"),
+            F.lit("ip"), F.col("_scrub.ip"),
+            F.lit("blocklist"), F.col("_scrub.blocklist"),
+        ).alias("scrub_counts"),
+        "quality_score",
+    )
+
+
+def quality_score_col(
+    text_col: str = "text",
+    lang_col: str = "lang",
+    ts_col: str | None = "warc_ts",
+    now_year: int = 2026,
+    pred_lang: Column | None = None,
+) -> Column:
+    """Native twin of core.gates.quality_score. Dimensions assessed:
+    completeness, consistency, uniqueness, accuracy, validity, and
+    timeliness when a timestamp column exists; precision is unassessed
+    (renormalized away, mirroring quality.rs:395-411). Pass the
+    already-computed pred_lang column to avoid re-running langid."""
+    c = F.col(text_col)
+    w = config.QUALITY_WEIGHTS
+    if pred_lang is None:
+        pred_lang = langid_udf(c)
+    completeness = F.least(
+        F.lit(1.0), exprs.word_count(c) / F.lit(float(config.MIN_WORDS))
+    )
+    consistency = F.when(exprs.mojibake_count(c) > 0, 0.0).otherwise(1.0)
+    uniqueness = F.lit(1.0) - exprs.dup_line_fraction(c)
+    accuracy = F.lit(1.0) - F.least(
+        F.lit(1.0), exprs.symbol_ratio(c) / F.lit(config.MAX_SYMBOL_RATIO)
+    )
+    validity = F.when(pred_lang == F.col(lang_col), 1.0).otherwise(0.0)
+    num = (
+        completeness * w["completeness"]
+        + consistency * w["consistency"]
+        + uniqueness * w["uniqueness"]
+        + accuracy * w["accuracy"]
+        + validity * w["validity"]
+    )
+    den = (
+        w["completeness"] + w["consistency"] + w["uniqueness"]
+        + w["accuracy"] + w["validity"]
+    )
+    if ts_col is not None:
+        year = F.year(F.col(ts_col))
+        timeliness = (
+            F.when(year > now_year, 0.0)
+            .when(year < now_year - config.STALE_YEARS, 0.5)
+            .otherwise(1.0)
+        )
+        num = num + timeliness * w["timeliness"]
+        den = den + w["timeliness"]
+    return num / F.lit(den)

@@ -1,0 +1,306 @@
+"""Column profiler — the reference's ColumnProfile machinery
+(/root/reference/crates/dataprof-core/src/profile.rs:10-48) as native
+Spark aggregations.
+
+One wide `agg()` computes every per-column scalar statistic in a
+single scan (Spark fuses them under whole-stage codegen — the Spark
+twin of the reference's single-pass SIMD accumulators, simd.rs:55-116,
+and its merge()-based partial aggregation, which IS Spark's
+partial/final agg model). Distinct counts follow the reference's
+exact-below-threshold / HLL-above contract with an `is_approximate`
+provenance flag (cardinality.rs:21,50-223):
+approx_count_distinct(rsd=0.008) ≈ HLL precision 14.
+
+Type inference for string columns applies the reference's rules
+(inference.rs:33-96): 100% i64 → integer; >80% finite f64 → float;
+≥90% strict true/false → boolean; >70% date-shaped → date; else
+string — as try_cast success-ratio aggregates, no Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataprof_spark import config
+from dataprof_spark.functions import exprs
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_DATE_REGEXES = (
+    # the reference's 8 date shapes (inference.rs:12-31), as one union
+    r"^\d{4}-\d{2}-\d{2}$|^\d{2}/\d{2}/\d{4}$|^\d{2}-\d{2}-\d{4}$"
+    r"|^\d{4}/\d{2}/\d{2}$|^\d{2}\.\d{2}\.\d{4}$"
+    r"|^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2})?"
+)
+
+
+@dataclass
+class ColumnProfile:
+    name: str
+    spark_type: str
+    inferred_type: str
+    total_count: int
+    null_count: int
+    distinct_count: int
+    distinct_is_approximate: bool
+    stats: dict[str, Any] = field(default_factory=dict)
+    top_values: list[tuple[Any, int]] = field(default_factory=list)
+    flags: list[str] = field(default_factory=list)
+
+
+def _is_numeric(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _NUMERIC_TYPES)
+
+
+def _is_temporal(dtype: T.DataType) -> bool:
+    return isinstance(dtype, (T.DateType, T.TimestampType))
+
+
+def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES) -> list[ColumnProfile]:
+    """Profile every column of `df` (3 jobs total, independent of
+    column count: wide agg → exact-distinct follow-up → top-k)."""
+    fields = df.schema.fields
+    aggs: list = [F.count(F.lit(1)).alias("__total")]
+    for f_ in fields:
+        c, n = F.col(f_.name), f_.name
+        if isinstance(f_.dataType, T.StringType):
+            null_pred = exprs.nulllike(c)  # reference P1 semantics
+        else:
+            null_pred = c.isNull()
+        aggs.append(F.sum(null_pred.cast("long")).alias(f"{n}__nulls"))
+        aggs.append(
+            F.approx_count_distinct(c, rsd=config.HLL_RSD).alias(
+                f"{n}__approx_distinct"
+            )
+        )
+        if _is_numeric(f_.dataType):
+            d = c.cast("double")
+            aggs += [
+                F.min(d).alias(f"{n}__min"),
+                F.max(d).alias(f"{n}__max"),
+                F.avg(d).alias(f"{n}__avg"),
+                F.stddev_samp(d).alias(f"{n}__std"),
+                F.skewness(d).alias(f"{n}__skew"),
+                F.kurtosis(d).alias(f"{n}__kurt"),
+                F.expr(
+                    f"percentile({n}, array(0.25, 0.5, 0.75))"
+                ).alias(f"{n}__quartiles"),
+            ]
+        elif _is_temporal(f_.dataType):
+            aggs += [
+                F.min(c).cast("string").alias(f"{n}__min"),
+                F.max(c).cast("string").alias(f"{n}__max"),
+                F.datediff(F.max(c), F.min(c)).alias(f"{n}__duration_days"),
+            ]
+        elif isinstance(f_.dataType, T.StringType):
+            ln = F.length(c)
+            nn = F.when(~null_pred, c)
+            aggs += [
+                F.min(ln).alias(f"{n}__min_len"),
+                F.max(ln).alias(f"{n}__max_len"),
+                F.avg(ln).alias(f"{n}__avg_len"),
+                # inference success ratios over non-null-like values
+                F.avg(F.try_cast(nn, "bigint").isNotNull().cast("double")).alias(
+                    f"{n}__int_ratio"
+                ),
+                F.avg(
+                    (
+                        F.try_cast(nn, "double").isNotNull()
+                        & ~F.isnan(F.coalesce(F.try_cast(nn, "double"), F.lit(0.0)))
+                    ).cast("double")
+                ).alias(f"{n}__float_ratio"),
+                F.avg(
+                    F.lower(F.trim(nn)).isin("true", "false").cast("double")
+                ).alias(f"{n}__bool_ratio"),
+                F.avg(nn.rlike(_DATE_REGEXES).cast("double")).alias(
+                    f"{n}__date_ratio"
+                ),
+            ]
+        elif isinstance(f_.dataType, T.BooleanType):
+            aggs += [
+                F.sum(c.cast("long")).alias(f"{n}__true_count"),
+            ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    total = row["__total"]
+
+    # follow-up: exact distinct for columns under the threshold
+    # (the reference's exact-tier contract, cardinality.rs:151-183)
+    exact_cols = [
+        f_.name
+        for f_ in fields
+        if row[f"{f_.name}__approx_distinct"] <= config.EXACT_DISTINCT_THRESHOLD
+    ]
+    exact: dict[str, int] = {}
+    if exact_cols:
+        erow = df.agg(
+            *[F.countDistinct(F.col(n)).alias(n) for n in exact_cols]
+        ).collect()[0]
+        exact = {n: erow[n] for n in exact_cols}
+
+    profiles = []
+    for f_ in fields:
+        n = f_.name
+        is_approx = n not in exact
+        distinct = exact.get(n, row[f"{n}__approx_distinct"])
+        stats: dict[str, Any] = {}
+        inferred = _infer_type(f_, row, total)
+        if _is_numeric(f_.dataType):
+            q = row[f"{n}__quartiles"]
+            mean, std = row[f"{n}__avg"], row[f"{n}__std"]
+            stats = {
+                "min": row[f"{n}__min"],
+                "max": row[f"{n}__max"],
+                "mean": mean,
+                "std": std,
+                "skewness": row[f"{n}__skew"],
+                "kurtosis": row[f"{n}__kurt"],
+                "q1": q[0] if q else None,
+                "median": q[1] if q else None,
+                "q3": q[2] if q else None,
+                # CV: None when |mean| < 0.001 (numeric.rs:230-237)
+                "cv": (
+                    std / abs(mean) * 100.0
+                    if std is not None and mean is not None
+                    and abs(mean) >= 0.001
+                    else None
+                ),
+            }
+        elif _is_temporal(f_.dataType):
+            stats = {
+                "min": row[f"{n}__min"],
+                "max": row[f"{n}__max"],
+                "duration_days": row[f"{n}__duration_days"],
+            }
+        elif isinstance(f_.dataType, T.StringType):
+            stats = {
+                "min_length": row[f"{n}__min_len"],
+                "max_length": row[f"{n}__max_len"],
+                "avg_length": row[f"{n}__avg_len"],
+            }
+        elif isinstance(f_.dataType, T.BooleanType):
+            tc = row[f"{n}__true_count"] or 0
+            nn = total - row[f"{n}__nulls"]
+            stats = {
+                "true_count": tc,
+                "false_count": nn - tc,
+                "true_ratio": tc / nn if nn else None,
+            }
+        flags = []
+        nulls = row[f"{n}__nulls"]
+        nn_total = total - nulls
+        # high-cardinality warning, excluding key-named columns
+        # (uniqueness.rs:170-193)
+        if (
+            nn_total > 0
+            and distinct / nn_total > config.HIGH_CARDINALITY_RATIO
+            and not _is_key_named(n)
+        ):
+            flags.append("high_cardinality")
+        if total and nulls / total * 100 > config.MAX_NULL_PERCENTAGE:
+            flags.append("null_column")
+        profiles.append(
+            ColumnProfile(
+                name=n,
+                spark_type=f_.dataType.simpleString(),
+                inferred_type=inferred,
+                total_count=total,
+                null_count=nulls,
+                distinct_count=int(distinct),
+                distinct_is_approximate=is_approx,
+                stats=stats,
+                flags=flags,
+            )
+        )
+
+    # third job: top-k values for low-cardinality string columns (A16)
+    for p in profiles:
+        if p.spark_type == "string" and p.distinct_count <= 1000:
+            rows = (
+                df.groupBy(p.name)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), F.col(p.name).asc_nulls_last())
+                .limit(top_k)
+                .collect()
+            )
+            p.top_values = [(r[p.name], r["cnt"]) for r in rows]
+    return profiles
+
+
+def _is_key_named(name: str) -> bool:
+    """id/key/pk as whole words, camel/snake aware (utils.rs:124-170)."""
+    import re
+
+    words = re.split(r"[_\W]+|(?<=[a-z])(?=[A-Z])", name.lower())
+    return any(w in ("id", "key", "pk") for w in words)
+
+
+def _infer_type(f_, row: dict, total: int) -> str:
+    """Reference inference rules (inference.rs:33-96) for string
+    columns; native Spark types map directly."""
+    n = f_.name
+    if _is_numeric(f_.dataType):
+        return (
+            "integer"
+            if isinstance(
+                f_.dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            )
+            else "float"
+        )
+    if _is_temporal(f_.dataType):
+        return "date"
+    if isinstance(f_.dataType, T.BooleanType):
+        return "boolean"
+    if not isinstance(f_.dataType, T.StringType):
+        return f_.dataType.simpleString()
+    nn = total - row[f"{n}__nulls"]
+    if nn == 0:
+        return "string"
+    int_r = row[f"{n}__int_ratio"] or 0.0
+    float_r = row[f"{n}__float_ratio"] or 0.0
+    bool_r = row[f"{n}__bool_ratio"] or 0.0
+    date_r = row[f"{n}__date_ratio"] or 0.0
+    if int_r == 1.0:
+        return "integer"
+    if float_r > 0.8:
+        return "float"
+    if bool_r >= 0.9:
+        return "boolean"
+    if date_r > 0.7:
+        return "date"
+    return "string"
+
+
+def profiles_to_df(spark, profiles: list[ColumnProfile]) -> DataFrame:
+    """Flatten to a metrics-table DataFrame (report sink S12)."""
+    import json
+
+    rows = [
+        (
+            p.name,
+            p.spark_type,
+            p.inferred_type,
+            p.total_count,
+            p.null_count,
+            p.distinct_count,
+            p.distinct_is_approximate,
+            json.dumps(p.stats, default=str),
+            json.dumps(p.top_values, default=str),
+            ",".join(p.flags),
+        )
+        for p in profiles
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name string, spark_type string, inferred_type string, "
+        "total_count long, null_count long, distinct_count long, "
+        "distinct_is_approximate boolean, stats string, "
+        "top_values string, flags string",
+    )

@@ -1,0 +1,517 @@
+"""Named queries + DuckDB oracle SQL — the driver-facing surface.
+
+Each entry: a Spark callable ``(spark, sf_dir) -> DataFrame`` and,
+where ANSI-SQL-expressible, a DuckDB oracle string over the same
+parquet tables (driver pre-registers views named region nation
+customer supplier part orders lineitem events documents embeddings).
+
+Conventions for hash-stable comparison (driver sorts columns by name,
+then value-hashes):
+- every computed column is aliased identically on both sides;
+- every float is round(x, 6) on both sides (summation-order ulp noise
+  must not flip the hash);
+- counts are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataprof_spark import config
+from dataprof_spark.functions import exprs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+
+# =====================================================================
+# TPC-H-style relational queries (scan/filter/agg/join/window coverage)
+# =====================================================================
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary. One scan, map-side
+    partial agg, tiny shuffle (4 groups) — the shape that holds at
+    100 TB unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            R6(F.sum("l_quantity")).alias("sum_qty"),
+            R6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            R6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            R6(F.avg("l_quantity")).alias("avg_qty"),
+            R6(F.avg("l_extendedprice")).alias("avg_price"),
+            R6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6)                                AS sum_qty,
+       round(sum(l_extendedprice), 6)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6)        AS sum_disc_price,
+       round(avg(l_quantity), 6)                                AS avg_qty,
+       round(avg(l_extendedprice), 6)                           AS avg_price,
+       round(avg(l_discount), 6)                                AS avg_disc,
+       count(*)::BIGINT                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain customer ⋈ orders ⋈ lineitem with a small build side
+    broadcast — at 100 TB lineitem is the probe, customer broadcasts."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            R6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join, every dim broadcast (they are tiny at any
+    scale factor; only lineitem/orders are fact-sized)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            R6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def topk_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N frequency truncation (reference A16: N=10, ties by value)."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    counted = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.orderBy(F.desc("cnt"), "o_orderpriority")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= config.TOP_K_VALUES)
+        .select("o_orderpriority", "cnt", "rank")
+    )
+
+
+TOPK_SQL = f"""
+SELECT o_orderpriority, cnt, rank FROM (
+  SELECT o_orderpriority, count(*)::BIGINT AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, o_orderpriority)::BIGINT AS rank
+  FROM orders GROUP BY o_orderpriority
+) WHERE rank <= {config.TOP_K_VALUES}
+"""
+
+
+def outlier_iqr_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR/Tukey outlier count (reference A9, k=1.5) on l_quantity.
+    Exact `percentile` (Type-7 interpolation, matching the reference's
+    numeric.rs:155-192 semantics — NOT percentile_approx)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+    )
+    k = config.OUTLIER_IQR_K
+    joined = li.crossJoin(F.broadcast(q))
+    return joined.agg(
+        F.sum(
+            (
+                (F.col("l_quantity") < F.col("q1") - k * (F.col("q3") - F.col("q1")))
+                | (F.col("l_quantity") > F.col("q3") + k * (F.col("q3") - F.col("q1")))
+            ).cast("long")
+        ).alias("n_outliers"),
+        R6(F.first("q1")).alias("q1"),
+        R6(F.first("q3")).alias("q3"),
+    )
+
+
+OUTLIER_SQL = f"""
+WITH q AS (
+  SELECT quantile_cont(l_quantity, 0.25) AS q1,
+         quantile_cont(l_quantity, 0.75) AS q3
+  FROM lineitem
+)
+SELECT sum(CASE WHEN l_quantity < q1 - {config.OUTLIER_IQR_K} * (q3 - q1)
+                  OR l_quantity > q3 + {config.OUTLIER_IQR_K} * (q3 - q1)
+           THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(any_value(q1), 6) AS q1,
+       round(any_value(q3), 6) AS q3
+FROM lineitem, q
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming path in
+    streaming/events.py): per-hour per-type counts + value sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            R6(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# =====================================================================
+# Document / web-text queries (the pipeline's own operator family)
+# =====================================================================
+def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals, all native expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        exprs.word_count(c).alias("word_count"),
+        exprs.letter_count(c).alias("letter_count"),
+        exprs.symbol_count(c).alias("symbol_count"),
+        exprs.ellipsis_count(c).alias("ellipsis_count"),
+        exprs.stopword_count(c).alias("stopword_count"),
+        exprs.line_count(c).alias("line_count"),
+        R6(exprs.mean_word_length(c)).alias("mean_word_length"),
+        R6(exprs.symbol_ratio(c)).alias("symbol_ratio"),
+    )
+
+
+def _doc_textstats_sql() -> str:
+    s = exprs.duckdb_signal_sql("text")
+    return f"""
+SELECT doc_id,
+       {s['word_count']} AS word_count,
+       {s['letter_count']} AS letter_count,
+       {s['symbol_count']} AS symbol_count,
+       {s['ellipsis_count']} AS ellipsis_count,
+       {s['stopword_count']} AS stopword_count,
+       {s['line_count']} AS line_count,
+       round(CASE WHEN {s['word_count']} > 0
+             THEN {s['letter_count']} / {s['word_count']} ELSE 0.0 END, 6)
+         AS mean_word_length,
+       round(CASE WHEN length(text) > 0
+             THEN {s['symbol_count']} / length(text) ELSE 0.0 END, 6)
+         AS symbol_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic keep/drop cascade (SQL-expressible subset) per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    reason = exprs.heuristic_reason(
+        F.col("text"), english=F.col("lang") == "en"
+    )
+    return docs.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def _doc_gates_sql() -> str:
+    # NULL text is normalized to '' on both sides (drops as too_short)
+    t = "coalesce(text, '')"
+    s = exprs.duckdb_signal_sql(t)
+    wc, lc = s["word_count"], s["letter_count"]
+    sym, ell = s["symbol_count"], s["ellipsis_count"]
+    stop = s["stopword_count"]
+    lines, dlines = s["line_count"], s["distinct_line_count"]
+    mwl = f"(CASE WHEN {wc} > 0 THEN {lc}::DOUBLE / {wc} ELSE 0.0 END)"
+    symr = (
+        f"(CASE WHEN length({t}) > 0 THEN {sym}::DOUBLE / length({t})"
+        f" ELSE 0.0 END)"
+    )
+    dupf = (
+        f"(CASE WHEN {lines} > 0 THEN 1.0 - {dlines}::DOUBLE / {lines}"
+        f" ELSE 0.0 END)"
+    )
+    moji = f"len(regexp_extract_all({t}, '�|Ã¡|Ã©|Ã­|Ã³|Ãº|Ã±|Ã¨'))"
+    reason = f"""
+      CASE
+        WHEN {moji} > 0 THEN 'garbled_encoding'
+        WHEN {wc} < {config.MIN_WORDS} THEN 'too_short'
+        WHEN {mwl} < {config.MEAN_WORD_LEN_MIN}
+          OR {mwl} > {config.MEAN_WORD_LEN_MAX} THEN 'mean_word_length'
+        WHEN {symr} > {config.MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
+        WHEN {ell}::DOUBLE / {wc} > {config.MAX_ELLIPSIS_PER_WORD}
+          THEN 'ellipsis_ratio'
+        WHEN lang = 'en' AND {stop} < {config.MIN_STOPWORD_COUNT}
+          THEN 'stopword_ratio'
+        WHEN {dupf} > {config.MAX_DUP_LINE_FRACTION}
+          THEN 'dup_line_fraction'
+        ELSE NULL
+      END"""
+    return f"""
+SELECT doc_id, ({reason}) IS NULL AS keep, {reason} AS drop_reason
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detector counts per document (reference patterns.rs:45-104
+    Email/Phone/IPv4 recast; native regexp_count — the scrubber itself
+    uses Python re, see operators/gates.scrub_udf)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        exprs.email_count(c).alias("email_count"),
+        exprs.phone_count(c).alias("phone_count"),
+        exprs.ipv4_count(c).alias("ipv4_count"),
+    )
+
+
+def _doc_pii_sql() -> str:
+    s = exprs.duckdb_signal_sql("text")
+    return f"""
+SELECT doc_id, {s['email_count']} AS email_count,
+       {s['phone_count']} AS phone_count,
+       {s['ipv4_count']} AS ipv4_count
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible stopword-langid + agreement with claimed lang."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = exprs.stopword_langid(F.col("text"))
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("lang_agree"),
+    )
+
+
+def _doc_langid_sql() -> str:
+    pred = exprs.duckdb_langid_sql("text")
+    return f"""
+SELECT doc_id, {pred} AS pred_lang, ({pred}) = lang AS lang_agree
+FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 text hash, group size, canonical = smallest
+    doc_id per group (deterministic). At scale: one hash-partitioned
+    shuffle on a 32-char key; AQE handles the empty-doc skew bucket."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    w = W.partitionBy("text_hash")
+    return hashed.select(
+        "doc_id",
+        "text_hash",
+        F.count(F.lit(1)).over(w).alias("dup_group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+DEDUP_SQL = """
+SELECT doc_id, md5(text) AS text_hash,
+       count(*) OVER (PARTITION BY md5(text))::BIGINT AS dup_group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+FROM documents ORDER BY doc_id
+"""
+
+
+def corpus_drop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-reason histogram — the run_metrics rollup (FIXTURES.md A3)."""
+    gates_df = doc_gates(spark, sf_dir)
+    return (
+        gates_df.groupBy("drop_reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("drop_reason")
+    )
+
+
+def _corpus_hist_sql() -> str:
+    inner = _doc_gates_sql().replace("ORDER BY doc_id", "")
+    return f"""
+SELECT drop_reason, count(*)::BIGINT AS n_docs
+FROM ({inner}) GROUP BY drop_reason ORDER BY drop_reason
+"""
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate
+    (alnum runs + non-space symbols as single tokens)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    ws = F.size(
+        F.filter(F.split(c, r"\s+", -1), lambda x: x != "")
+    ).cast("long")
+    bpe = F.regexp_count(c, F.lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast(
+        "long"
+    )
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+TOKEN_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))::BIGINT
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+         AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (deterministic, engine-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(F.trim(norm)).alias("fingerprint")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level profile aggregates (the reference's per-column
+    ColumnProfile recast over the documents table): one row, exact
+    counts (A1, A10 exact tier, A15)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("distinct_texts"),
+        F.countDistinct("lang").alias("distinct_langs"),
+        F.sum(exprs.nulllike(F.col("text")).cast("long")).alias(
+            "nulllike_texts"
+        ),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+        R6(F.avg(F.length("text"))).alias("avg_len"),
+    )
+
+
+PROFILE_SQL = """
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT text)::BIGINT AS distinct_texts,
+       count(DISTINCT lang)::BIGINT AS distinct_langs,
+       sum(CASE WHEN text IS NULL OR trim(text) = ''
+                 OR lower(trim(text)) IN ('null', 'nan')
+            THEN 1 ELSE 0 END)::BIGINT AS nulllike_texts,
+       min(length(text))::BIGINT AS min_len,
+       max(length(text))::BIGINT AS max_len,
+       round(avg(length(text)), 6) AS avg_len
+FROM documents
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+def registry() -> dict[str, tuple[Callable, str | None]]:
+    """name -> (spark_fn, oracle_sql | None)."""
+    return {
+        "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+        "q3_top_orders": (q3_top_orders, Q3_SQL),
+        "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+        "topk_order_priorities": (topk_order_priorities, TOPK_SQL),
+        "outlier_iqr_quantity": (outlier_iqr_quantity, OUTLIER_SQL),
+        "events_hourly": (events_hourly, EVENTS_SQL),
+        "doc_textstats": (doc_textstats, _doc_textstats_sql()),
+        "doc_gates": (doc_gates, _doc_gates_sql()),
+        "doc_pii_counts": (doc_pii_counts, _doc_pii_sql()),
+        "doc_langid_stopword": (doc_langid_stopword, _doc_langid_sql()),
+        "dedup_exact": (dedup_exact, DEDUP_SQL),
+        "corpus_drop_histogram": (corpus_drop_histogram, _corpus_hist_sql()),
+        "doc_token_counts": (doc_token_counts, TOKEN_SQL),
+        "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+        "profile_documents": (profile_documents, PROFILE_SQL),
+    }

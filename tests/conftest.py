@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import pytest
+
+from dataprof_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF01_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(
+        app_name="dataprof_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield spark
+    spark.stop()

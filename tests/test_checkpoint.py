@@ -1,0 +1,65 @@
+"""Resume-without-recompute contract (BASELINE.md resumability row):
+kill mid-run → resume → final tables byte-identical to a clean run."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+
+from dataprof_spark.pipeline import checkpoint, fixtures
+
+ROWS = fixtures.generate_pages(n=300)
+
+
+def _table_hash(spark, out_dir) -> str:
+    df = checkpoint.read_decisions(spark, out_dir).orderBy("url")
+    h = hashlib.sha256()
+    for r in df.collect():
+        h.update(repr((r["url"], r["keep"], r["drop_reason"],
+                       r["scrubbed_text"])).encode())
+    return h.hexdigest()
+
+
+def test_kill_and_resume_byte_identical(spark, tmp_path):
+    pages = fixtures.pages_df(spark, ROWS)
+    clean_dir, killed_dir = str(tmp_path / "clean"), str(tmp_path / "killed")
+
+    checkpoint.run(pages, clean_dir, run_id="clean", n_buckets=4)
+
+    # simulate a kill after 2 of 4 partitions
+    first = checkpoint.run(
+        pages, killed_dir, run_id="r1", n_buckets=4, max_partitions=2
+    )
+    assert len(first) == 2
+    assert checkpoint.done_partitions(killed_dir) == {0, 1}
+
+    # resume: only the remaining partitions run
+    second = checkpoint.run(pages, killed_dir, run_id="r2", n_buckets=4)
+    assert sorted(r["partition_id"] for r in second) == [2, 3]
+
+    assert _table_hash(spark, clean_dir) == _table_hash(spark, killed_dir)
+
+
+def test_resume_is_noop_when_done(spark, tmp_path):
+    pages = fixtures.pages_df(spark, ROWS)
+    out = str(tmp_path / "full")
+    checkpoint.run(pages, out, n_buckets=3)
+    assert checkpoint.run(pages, out, n_buckets=3) == []
+
+
+def test_metrics_lineage(spark, tmp_path):
+    pages = fixtures.pages_df(spark, ROWS)
+    out = str(tmp_path / "m")
+    rows = checkpoint.run(pages, out, run_id="rm", n_buckets=3)
+    assert sum(r["docs_in"] for r in rows) == len(ROWS)
+    assert all(r["status"] == "done" for r in rows)
+    assert all(r["wall_ms"] > 0 for r in rows)
+    # drop-reason histogram sums to docs_in - docs_out
+    for r in rows:
+        assert sum(r["drop_reason_counts"].values()) == (
+            r["docs_in"] - r["docs_out"]
+        )
+    metrics = checkpoint.read_metrics(spark, out)
+    assert metrics.count() == 3
+    # partition files exist per bucket
+    assert len(glob.glob(f"{out}/decisions/part_key=*")) == 3
