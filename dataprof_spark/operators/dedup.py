@@ -1,0 +1,283 @@
+"""Deduplication family for training-data pipelines.
+
+All variants are deterministic (fixed hash constants — the
+reference's seeded-everything discipline, streaming_stats.rs:122-133)
+and expressed as native Spark column operations so they scale:
+
+- exact:        md5(text) group — one shuffle on the hash key
+- minhash_lsh:  shingle → minhash (md5-derived hash family) → band →
+                bucket join. The classic near-dup pipeline: candidate
+                pairs only ever meet inside a band bucket, so the
+                shuffle is on (band_id, band_hash) — never all-pairs.
+- simhash:      64-bit sign-sum fingerprint over token hashes;
+                hamming-close pairs are near-dups
+- ngram_jaccard: exact Jaccard over shingle sets for candidate pairs
+                (the verify step after LSH)
+- embedding cosine: see operators/similarity.py
+
+Scale notes (100 TB): shingling multiplies data ~SHINGLE_K×, so
+minhash signatures are computed in the same projection that reads the
+text (no materialized shingle table). Band-bucket join keys are
+high-cardinality → well-distributed shuffle; duplicate-heavy buckets
+(boilerplate) are exactly AQE-skew-join territory, enabled in
+session.py.
+
+The md5-derived hash family keeps every stage reproducible in ANSI
+SQL (DuckDB oracle): h = first 8 hex chars of md5(shingle) as uint32,
+perm_i(h) = (a_i * h + b_i) mod 2^31-1 with fixed odd constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_31 = (1 << 31) - 1
+N_PERM_DEFAULT = 16
+N_BANDS_DEFAULT = 4  # 4 rows/band at 16 perms
+SHINGLE_K = 3  # word 3-grams
+
+
+def _hash_family(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — small fixed LCG, seed 42."""
+    pairs, x = [], 42
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = (x | 1) % MERSENNE_31  # odd a
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % MERSENNE_31
+        pairs.append((a, b))
+    return pairs
+
+
+def shingles(c: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-shingles of lowercased text (native: split +
+    transform + array_distinct; empty-safe)."""
+    toks = F.filter(F.split(F.lower(c), r"\s+", -1), lambda x: x != "")
+    n = F.size(toks)
+    # indices 0..n-k inclusive → n-k+1 shingles (sequence is inclusive)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, k)
+                ),
+            )
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def shingle_hash(s: Column) -> Column:
+    """Engine-portable 32-bit shingle hash: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(c: Column, n_perm: int = N_PERM_DEFAULT) -> Column:
+    """Array of n_perm minhash values over the text's shingles.
+    Empty shingle sets get MERSENNE_31 sentinels (never collide with
+    real docs)."""
+    sh = shingles(c)
+    hashes = F.transform(sh, shingle_hash)
+    mins = []
+    for a, b in _hash_family(n_perm):
+        permuted = F.transform(
+            hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_31
+        )
+        mins.append(
+            F.coalesce(F.array_min(permuted), F.lit(MERSENNE_31))
+        )
+    return F.array(*mins)
+
+
+def minhash_bands(sig: Column, n_bands: int = N_BANDS_DEFAULT,
+                  n_perm: int = N_PERM_DEFAULT) -> Column:
+    """Band fingerprints: md5 of the joined band slice."""
+    rows_per_band = n_perm // n_bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = N_PERM_DEFAULT,
+    n_bands: int = N_BANDS_DEFAULT,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 band bucket.
+
+    Plan shape: one projection (signatures) → explode bands →
+    self-join on (band_idx, band_hash) → distinct pairs. The join key
+    is a hash bucket, so co-located after one shuffle each side;
+    nothing quadratic ever materializes.
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_bands(
+            minhash_signature(F.col(text_col), n_perm), n_bands, n_perm
+        ).alias("bands"),
+    )
+    exploded = sig.select(
+        "id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Joins the (small) candidate-pair table back to the shingle sets —
+    at scale `pairs` is a tiny fraction of the corpus, so both joins
+    broadcast the pair side.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col)).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(union > 0, inter / union).otherwise(0.0), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col)
+    return ngram_jaccard_pairs(df, pairs, id_col, text_col, threshold)
+
+
+# ----------------------------------------------------------- simhash
+def simhash64(c: Column) -> Column:
+    """64-bit SimHash over word tokens (deterministic, native).
+
+    Implemented bit-parallel without explode: token → xxhash64 →
+    per-bit ±1 contributions summed via transform/aggregate. Stays a
+    single projection; 64 aggregate expressions fold under codegen.
+    """
+    toks = F.filter(F.split(F.lower(c), r"\s+", -1), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = []
+    for i in range(64):
+        # sum of (bit_i(h) ? 1 : -1) over tokens
+        s = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .cast("long"),
+        )
+        bits.append(F.when(s > 0, F.lit(1).cast("long")).otherwise(0))
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out + F.shiftleft(b, i)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path: block on 4 16-bit chunks (a pair within hamming ≤3 of
+    64 bits must agree exactly on ≥1 of 4 chunks — pigeonhole), join
+    per chunk, verify hamming. Never all-pairs.
+    """
+    sim = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    chunks = sim.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.chunk_idx", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

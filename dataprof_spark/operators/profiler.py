@@ -60,7 +60,9 @@ def _is_numeric(dtype: T.DataType) -> bool:
 
 
 def _is_temporal(dtype: T.DataType) -> bool:
-    return isinstance(dtype, (T.DateType, T.TimestampType))
+    return isinstance(
+        dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)
+    )
 
 
 def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES) -> list[ColumnProfile]:
@@ -107,13 +109,13 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES) -> list[ColumnProfi
                 F.max(ln).alias(f"{n}__max_len"),
                 F.avg(ln).alias(f"{n}__avg_len"),
                 # inference success ratios over non-null-like values
-                F.avg(F.try_cast(nn, "bigint").isNotNull().cast("double")).alias(
+                F.avg(nn.try_cast("bigint").isNotNull().cast("double")).alias(
                     f"{n}__int_ratio"
                 ),
                 F.avg(
                     (
-                        F.try_cast(nn, "double").isNotNull()
-                        & ~F.isnan(F.coalesce(F.try_cast(nn, "double"), F.lit(0.0)))
+                        nn.try_cast("double").isNotNull()
+                        & ~F.isnan(F.coalesce(nn.try_cast("double"), F.lit(0.0)))
                     ).cast("double")
                 ).alias(f"{n}__float_ratio"),
                 F.avg(
@@ -237,7 +239,12 @@ def _is_key_named(name: str) -> bool:
     """id/key/pk as whole words, camel/snake aware (utils.rs:124-170)."""
     import re
 
-    words = re.split(r"[_\W]+|(?<=[a-z])(?=[A-Z])", name.lower())
+    # split camelCase/snake_case BEFORE lowercasing (utils.rs word rules)
+    words = [
+        w.lower()
+        for w in re.split(r"[_\W]+|(?<=[a-z])(?=[A-Z])", name)
+        if w
+    ]
     return any(w in ("id", "key", "pk") for w in words)
 
 

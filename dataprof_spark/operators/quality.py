@@ -1,0 +1,233 @@
+"""Dataset-level quality dimensions — the reference's QualityMetrics
+(/root/reference/crates/dataprof-metrics/src/quality.rs:135-161,
+dimension calculators completeness.rs / uniqueness.rs / consistency.rs
+/ accuracy.rs / timeliness.rs) as Spark aggregations.
+
+Everything is computed EXACT in one or two scans (Spark makes the
+reference's Phase-A/Phase-B sampled bifurcation unnecessary —
+metrics/mod.rs:463-741); we keep the provenance *fields* with value
+"exact" so report consumers see the same contract.
+
+Weighted overall score: renormalized weighted mean over assessed
+dimensions only — vacuous dimensions are excluded, never counted as
+perfect (quality.rs:395-411; weights config.rs:24-36).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataprof_spark import config
+from dataprof_spark.functions import exprs
+from dataprof_spark.operators.profiler import (
+    _is_key_named,
+    _is_numeric,
+    _is_temporal,
+)
+
+MOJIBAKE_PAT = exprs.MOJIBAKE_PAT
+
+# name-keyed domain rules (accuracy.rs:33-226)
+_DOMAIN_RULES = (
+    ("age", 0.0, 150.0),
+    ("percent", 0.0, 100.0),
+    ("rate", 0.0, 100.0),
+    ("year", 1900.0, 2100.0),
+)
+_POSITIVE_HINTS = ("count", "quantity", "qty", "amount", "price", "size")
+
+
+@dataclass
+class QualityReport:
+    dimensions: dict[str, float] = field(default_factory=dict)
+    details: dict[str, dict] = field(default_factory=dict)
+    confidence: str = "exact"
+
+    @property
+    def overall_score(self) -> float:
+        assessed = {
+            d: v for d, v in self.dimensions.items() if v is not None
+        }
+        if not assessed:
+            return 0.0
+        num = sum(config.QUALITY_WEIGHTS[d] * v for d, v in assessed.items())
+        den = sum(config.QUALITY_WEIGHTS[d] for d in assessed)
+        return num / den
+
+
+def assess(df: DataFrame, key_col: str | None = None,
+           now: _dt.datetime | None = None) -> QualityReport:
+    """Compute all assessable dimensions in two scans."""
+    now = now or _dt.datetime(2026, 1, 1)
+    fields_ = df.schema.fields
+    str_cols = [f.name for f in fields_ if isinstance(f.dataType, T.StringType)]
+    num_cols = [f.name for f in fields_ if _is_numeric(f.dataType)]
+    ts_cols = [f.name for f in fields_ if _is_temporal(f.dataType)]
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    # completeness: per-cell nulls + complete records
+    null_preds = []
+    for f_ in fields_:
+        c = F.col(f_.name)
+        p = exprs.nulllike(c) if isinstance(f_.dataType, T.StringType) else c.isNull()
+        null_preds.append(p)
+        aggs.append(F.sum(p.cast("long")).alias(f"{f_.name}__nulls"))
+    complete_row = None
+    for p in null_preds:
+        notp = ~p
+        complete_row = notp if complete_row is None else (complete_row & notp)
+    aggs.append(F.sum(complete_row.cast("long")).alias("__complete_rows"))
+    # uniqueness: row duplicates via hash of all columns (A11)
+    aggs.append(
+        F.countDistinct(
+            F.hash(*[F.col(f_.name) for f_ in fields_])
+        ).alias("__distinct_rows")
+    )
+    if key_col:
+        aggs.append(F.countDistinct(F.col(key_col)).alias("__key_distinct"))
+        aggs.append(
+            F.sum(F.col(key_col).isNotNull().cast("long")).alias("__key_nn")
+        )
+    # consistency: mojibake values across string columns (A20)
+    for n in str_cols:
+        aggs.append(
+            F.sum(F.col(n).rlike(MOJIBAKE_PAT).cast("long")).alias(
+                f"{n}__moji"
+            )
+        )
+    # accuracy: domain rules + negatives in positive-named cols (A21)
+    for n in num_cols:
+        c = F.col(n).cast("double")
+        for hint, lo, hi in _DOMAIN_RULES:
+            if hint in n.lower():
+                aggs.append(
+                    F.sum(((c < lo) | (c > hi)).cast("long")).alias(
+                        f"{n}__domain_viol"
+                    )
+                )
+                break
+        if any(h in n.lower() for h in _POSITIVE_HINTS):
+            aggs.append(
+                F.sum((c < 0).cast("long")).alias(f"{n}__neg")
+            )
+        # quartiles for IQR outliers (exact percentile, Type-7)
+        aggs.append(
+            F.expr(f"percentile({n}, array(0.25, 0.75))").alias(
+                f"{n}__quarts"
+            )
+        )
+        aggs.append(F.count(c).alias(f"{n}__n"))
+    # timeliness (A22)
+    for n in ts_cols:
+        y = F.year(F.col(n))
+        aggs.append(F.sum((y > now.year).cast("long")).alias(f"{n}__future"))
+        aggs.append(
+            F.sum((y < now.year - config.STALE_YEARS).cast("long")).alias(
+                f"{n}__stale"
+            )
+        )
+        aggs.append(F.count(F.col(n)).alias(f"{n}__ts_n"))
+
+    row = df.agg(*aggs).collect()[0].asDict()
+    total = row["__total"]
+    report = QualityReport()
+    if total == 0:
+        return report
+
+    # ---- completeness
+    n_cells = total * len(fields_)
+    total_nulls = sum(row[f"{f_.name}__nulls"] for f_ in fields_)
+    null_columns = [
+        f_.name
+        for f_ in fields_
+        if row[f"{f_.name}__nulls"] / total * 100 > config.MAX_NULL_PERCENTAGE
+    ]
+    report.dimensions["completeness"] = 1.0 - total_nulls / n_cells
+    report.details["completeness"] = {
+        "missing_values_ratio": total_nulls / n_cells,
+        "complete_records_ratio": row["__complete_rows"] / total,
+        "null_columns": null_columns,
+    }
+
+    # ---- uniqueness
+    dup_rows = total - row["__distinct_rows"]
+    uni = 1.0 - dup_rows / total
+    det: dict = {"duplicate_rows": dup_rows}
+    if key_col:
+        kn = row["__key_nn"]
+        det["key_uniqueness"] = (
+            row["__key_distinct"] / kn if kn else None
+        )
+        if kn and det["key_uniqueness"] is not None:
+            uni = min(uni, det["key_uniqueness"])
+    report.dimensions["uniqueness"] = uni
+    report.details["uniqueness"] = det
+
+    # ---- consistency
+    if str_cols:
+        moji_total = sum(row[f"{n}__moji"] for n in str_cols)
+        str_cells = total * len(str_cols)
+        report.dimensions["consistency"] = 1.0 - moji_total / str_cells
+        report.details["consistency"] = {"mojibake_values": moji_total}
+
+    # ---- accuracy: outlier ratio pooled + rule violations
+    if num_cols:
+        outliers = 0
+        pooled_n = 0
+        fence_preds = []
+        for n in num_cols:
+            q = row[f"{n}__quarts"]
+            cnt = row[f"{n}__n"]
+            if not q or cnt < config.OUTLIER_MIN_SAMPLES:
+                continue
+            q1, q3 = q
+            iqr = q3 - q1
+            lo, hi = q1 - config.OUTLIER_IQR_K * iqr, q3 + config.OUTLIER_IQR_K * iqr
+            fence_preds.append((n, lo, hi))
+            pooled_n += cnt
+        if fence_preds:
+            out_aggs = [
+                F.sum(
+                    (
+                        (F.col(n).cast("double") < lo)
+                        | (F.col(n).cast("double") > hi)
+                    ).cast("long")
+                ).alias(n)
+                for n, lo, hi in fence_preds
+            ]
+            orow = df.agg(*out_aggs).collect()[0]
+            outliers = sum(orow[n] or 0 for n, _, _ in fence_preds)
+        viol = sum(
+            row.get(f"{n}__domain_viol", 0) or 0 for n in num_cols
+        ) + sum(row.get(f"{n}__neg", 0) or 0 for n in num_cols)
+        score = 1.0
+        if pooled_n:
+            score -= outliers / pooled_n
+        if total:
+            score -= min(1.0, viol / total)
+        report.dimensions["accuracy"] = max(0.0, score)
+        report.details["accuracy"] = {
+            "outlier_count": outliers,
+            "pooled_n": pooled_n,
+            "rule_violations": viol,
+        }
+
+    # ---- timeliness
+    if ts_cols:
+        fut = sum(row[f"{n}__future"] for n in ts_cols)
+        stale = sum(row[f"{n}__stale"] for n in ts_cols)
+        nn = sum(row[f"{n}__ts_n"] for n in ts_cols)
+        if nn:
+            report.dimensions["timeliness"] = max(
+                0.0, 1.0 - (fut + 0.5 * stale) / nn
+            )
+            report.details["timeliness"] = {
+                "future_dates": fut,
+                "stale_values": stale,
+            }
+    return report

@@ -238,6 +238,188 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single agg — the pushdown
+    showcase (filters reach the parquet scan; zero shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            R6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (beyond the reference: it has no grouped
+    aggregation at all, SURVEY.md §2.4 tail note)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            R6(F.sum("o_totalprice")).alias("total_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 6) AS total_price,
+       (grouping(o_orderstatus) * 2 + grouping(o_orderpriority))::BIGINT AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def moments_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-moment parity (reference A3 Welford + A7 biased
+    skew/kurtosis, numeric.rs:240-275): moments computed from raw
+    power sums with the reference's /n denominators, identically on
+    both engines (Spark's built-in skewness/kurtosis use different
+    denominators — SURVEY.md §7.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(x).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    m2 = s2 / n - m * m                      # biased variance
+    m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
+    m4 = (
+        s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * m * m * m * m
+    )
+    return sums.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        R6(m).alias("mean"),
+        R6(m2 * n / (n - 1)).alias("var_samp"),
+        R6(m3 / F.pow(m2, 1.5)).alias("skew_biased"),
+        R6(m4 / (m2 * m2) - 3.0).alias("kurt_excess"),
+    ).orderBy("l_returnflag")
+
+
+MOMENTS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag, count(l_quantity)::BIGINT AS n,
+         sum(l_quantity) AS s1,
+         sum(l_quantity * l_quantity) AS s2,
+         sum(l_quantity * l_quantity * l_quantity) AS s3,
+         sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(s1/n, 6) AS mean,
+       round((s2/n - (s1/n)*(s1/n)) * n / (n - 1), 6) AS var_samp,
+       round((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)^3)
+             / (s2/n - (s1/n)*(s1/n))^1.5, 6) AS skew_biased,
+       round((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)^2*s2/n - 3*(s1/n)^4)
+             / (s2/n - (s1/n)*(s1/n))^2 - 3.0, 6) AS kurt_excess
+FROM sums ORDER BY l_returnflag
+"""
+
+
+def timeliness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeliness dimension (reference A22): future / stale counts
+    with explicit denominators, pinned to now=2026 for determinism."""
+    orders = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    return orders.agg(
+        F.sum((y > 2026).cast("long")).alias("future_dates"),
+        F.sum((y < 2026 - config.STALE_YEARS).cast("long")).alias(
+            "stale_dates"
+        ),
+        F.count("o_orderdate").alias("denominator"),
+    )
+
+
+TIMELINESS_SQL = f"""
+SELECT sum(CASE WHEN year(o_orderdate) > 2026 THEN 1 ELSE 0 END)::BIGINT
+         AS future_dates,
+       sum(CASE WHEN year(o_orderdate) < {2026 - config.STALE_YEARS}
+           THEN 1 ELSE 0 END)::BIGINT AS stale_dates,
+       count(o_orderdate)::BIGINT AS denominator
+FROM orders
+"""
+
+
+def completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness (reference A19): per-column null-like counts +
+    complete-records ratio over the events table (its props column
+    carries real nulls)."""
+    ev = _t(spark, sf_dir, "events")
+    preds = {
+        c: (
+            exprs.nulllike(F.col(c))
+            if dict(ev.dtypes)[c] == "string"
+            else F.col(c).isNull()
+        )
+        for c in ev.columns
+    }
+    complete = None
+    for p in preds.values():
+        complete = ~p if complete is None else (complete & ~p)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(p.cast("long")).alias(f"nulls_{c}")
+            for c, p in preds.items()
+        ],
+        F.sum(complete.cast("long")).alias("complete_rows"),
+    )
+
+
+COMPLETENESS_SQL = """
+SELECT count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_event_id,
+       sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_ts,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_user_id,
+       sum(CASE WHEN event_type IS NULL OR trim(event_type) = ''
+                 OR lower(trim(event_type)) IN ('null','nan')
+            THEN 1 ELSE 0 END)::BIGINT AS nulls_event_type,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_value,
+       sum(CASE WHEN props IS NULL OR trim(props) = ''
+                 OR lower(trim(props)) IN ('null','nan')
+            THEN 1 ELSE 0 END)::BIGINT AS nulls_props,
+       sum(CASE WHEN event_id IS NOT NULL AND ts IS NOT NULL
+                 AND user_id IS NOT NULL AND value IS NOT NULL
+                 AND NOT (event_type IS NULL OR trim(event_type) = ''
+                          OR lower(trim(event_type)) IN ('null','nan'))
+                 AND NOT (props IS NULL OR trim(props) = ''
+                          OR lower(trim(props)) IN ('null','nan'))
+            THEN 1 ELSE 0 END)::BIGINT AS complete_rows
+FROM events
+"""
+
+
 # =====================================================================
 # Document / web-text queries (the pipeline's own operator family)
 # =====================================================================
@@ -498,10 +680,18 @@ FROM documents
 # =====================================================================
 def registry() -> dict[str, tuple[Callable, str | None]]:
     """name -> (spark_fn, oracle_sql | None)."""
+    from dataprof_spark import queries_dedup
+
     return {
         "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
         "q3_top_orders": (q3_top_orders, Q3_SQL),
         "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+        "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+        "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
+        "moments_quantity": (moments_quantity, MOMENTS_SQL),
+        "timeliness_orders": (timeliness_orders, TIMELINESS_SQL),
+        "completeness_events": (completeness_events, COMPLETENESS_SQL),
+        **queries_dedup.registry(),
         "topk_order_priorities": (topk_order_priorities, TOPK_SQL),
         "outlier_iqr_quantity": (outlier_iqr_quantity, OUTLIER_SQL),
         "events_hourly": (events_hourly, EVENTS_SQL),

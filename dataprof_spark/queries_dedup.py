@@ -1,0 +1,211 @@
+"""Dedup / similarity / sampling queries + programmatically generated
+DuckDB oracle SQL (the SQL mirrors dedup.py's hash family exactly).
+
+The MinHash pipeline is oracle-checked end-to-end: shingles → md5-
+derived 32-bit hashes → affine permutations → per-band fingerprints →
+bucket-join candidate pairs → exact Jaccard verify. Both engines
+compute the identical deterministic function, so the driver's
+value-hash comparison holds bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataprof_spark.operators import dedup, sampling, similarity
+
+N_PERM = 8
+N_BANDS = 4
+
+
+# ------------------------------------------------------------ DuckDB SQL
+def _ddb_minhash_sql() -> str:
+    """Per-doc minhash values as columns mh0..mh{N_PERM-1}."""
+    fam = dedup._hash_family(N_PERM)
+    toks = (
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+    )
+    shingles = f"""
+      CASE WHEN len(toks) >= {dedup.SHINGLE_K} THEN
+        list_distinct(list_transform(
+          range(1, len(toks) - {dedup.SHINGLE_K} + 2),
+          i -> array_to_string(toks[i:i+{dedup.SHINGLE_K - 1}], ' ')))
+      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+      ELSE []::VARCHAR[] END
+    """
+    hashes = (
+        "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    )
+    mh_cols = ",\n       ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % "
+        f"{dedup.MERSENNE_31})), {dedup.MERSENNE_31})::BIGINT AS mh{i}"
+        for i, (a, b) in enumerate(fam)
+    )
+    return f"""
+SELECT doc_id, {mh_cols}
+FROM (
+  SELECT doc_id, {hashes} AS hs
+  FROM (
+    SELECT doc_id, ({shingles}) AS sh
+    FROM (SELECT doc_id, {toks} AS toks FROM documents)
+  )
+) ORDER BY doc_id
+"""
+
+
+def _ddb_band_expr() -> str:
+    """Band fingerprint list for the pair oracle (md5 of joined slice)."""
+    rows = N_PERM // N_BANDS
+    fam = dedup._hash_family(N_PERM)
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % "
+        f"{dedup.MERSENNE_31})), {dedup.MERSENNE_31})"
+        for (a, b) in fam
+    )
+    bands = ", ".join(
+        f"md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], '_'))"
+        for b in range(N_BANDS)
+    )
+    return mins, bands
+
+
+def _ddb_near_dup_sql(threshold: float = 0.5) -> str:
+    mins, bands = _ddb_band_expr()
+    toks = (
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+    )
+    shingles = f"""
+      CASE WHEN len(toks) >= {dedup.SHINGLE_K} THEN
+        list_distinct(list_transform(
+          range(1, len(toks) - {dedup.SHINGLE_K} + 2),
+          i -> array_to_string(toks[i:i+{dedup.SHINGLE_K - 1}], ' ')))
+      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+      ELSE []::VARCHAR[] END
+    """
+    return f"""
+WITH base AS (
+  SELECT doc_id, ({shingles}) AS sh,
+         list_transform(({shingles}), s ->
+           ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+), sigs AS (
+  SELECT doc_id, sh, [{mins}] AS sig FROM base
+), bands AS (
+  SELECT doc_id, sh, unnest([{bands}]) AS band_hash,
+         unnest(range(1, {N_BANDS} + 1)) AS band_idx
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+         THEN (len(sa.sh) + len(sb.sh)
+               - len(list_distinct(sa.sh || sb.sh)))::DOUBLE
+              / len(list_distinct(sa.sh || sb.sh))
+         ELSE 0.0 END, 6) AS jaccard
+FROM cand
+JOIN (SELECT doc_id, sh FROM base) sa ON cand.id_a = sa.doc_id
+JOIN (SELECT doc_id, sh FROM base) sb ON cand.id_b = sb.doc_id
+WHERE jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+ANN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec))
+                     * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[])) > 0
+           THEN list_dot_product(q.q_vec, e.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                   * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[])))
+           ELSE 0.0 END, 6) AS cos_sim
+  FROM embeddings e, q
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------------------ Spark side
+def minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = dedup.minhash_signature(F.col("text"), n_perm=N_PERM)
+    return docs.select(
+        "doc_id",
+        *[sig[i].alias(f"mh{i}") for i in range(N_PERM)],
+    )
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.lsh_candidate_pairs(
+        docs, n_perm=N_PERM, n_bands=N_BANDS
+    )
+    return dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.5)
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-based — no DuckDB twin (rows-only check); correctness
+    is covered by tests/test_dedup.py determinism + pair tests."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
+    )
+
+
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.systematic(docs, 7, "doc_id").select("doc_id", "lang")
+
+
+SAMPLE_SYS_SQL = """
+SELECT doc_id, lang FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+"""
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.hash_sample(docs, 0.25, "doc_id").select(
+        "doc_id", "n_chars"
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE ('0x' || substr(md5('42' || doc_id::VARCHAR), 1, 8))::BIGINT
+      < {int(0.25 * 0xFFFFFFFF)}
+ORDER BY doc_id
+"""
+
+
+def registry():
+    return {
+        "minhash_per_doc": (minhash_per_doc, _ddb_minhash_sql()),
+        "near_dup_pairs": (near_dup_pairs, _ddb_near_dup_sql()),
+        "ann_topk": (ann_topk, ANN_SQL),
+        "simhash_fingerprints": (simhash_fingerprints, None),
+        "sample_systematic": (sample_systematic, SAMPLE_SYS_SQL),
+        "sample_hash": (sample_hash, SAMPLE_HASH_SQL),
+    }

@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+applyInPandasWithState (the Spark extension point for operators the
+built-ins can't express — SURVEY.md §2.10).
+
+Semantics: events for a user belong to one session while consecutive
+event gaps are ≤ `gap`; a session closes when the watermark passes
+its last event + gap, emitting (user_id, session_start, session_end,
+n_events, total_value).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+STATE_SCHEMA = "start long, last long, n long, total double"
+
+GAP_SECONDS = 1800  # 30 min
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_start": dt.datetime.fromtimestamp(
+                        start, dt.timezone.utc
+                    ).replace(tzinfo=None),
+                    "session_end": dt.datetime.fromtimestamp(
+                        last, dt.timezone.utc
+                    ).replace(tzinfo=None),
+                    "n_events": n,
+                    "total_value": total,
+                }
+            ]
+        )
+        return
+
+    rows: list[dict[str, Any]] = []
+    events = pd.concat(list(pdfs)).sort_values("ts")
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start = last = None, None  # placeholder, set below
+        start, last, n, total = None, None, 0, 0.0
+    for _, e in events.iterrows():
+        ts = int(e["ts"].timestamp())
+        if last is not None and ts - last > GAP_SECONDS:
+            rows.append(
+                {
+                    "user_id": user_id,
+                    "session_start": dt.datetime.fromtimestamp(
+                        start, dt.timezone.utc
+                    ).replace(tzinfo=None),
+                    "session_end": dt.datetime.fromtimestamp(
+                        last, dt.timezone.utc
+                    ).replace(tzinfo=None),
+                    "n_events": n,
+                    "total_value": total,
+                }
+            )
+            start, n, total = ts, 0, 0.0
+        if start is None:
+            start = ts
+        last = ts
+        n += 1
+        total += float(e["value"])
+    state.update((start, last, n, total))
+    state.setTimeoutDuration(GAP_SECONDS * 1000)
+    yield pd.DataFrame(rows)
+
+
+def sessionize(stream: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
+    """Stateful sessionization over a streaming events DataFrame."""
+    return (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

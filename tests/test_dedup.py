@@ -1,0 +1,92 @@
+"""Dedup family: minhash-LSH finds planted near-dups, exact Jaccard
+verifies, simhash agrees, no false positives among unrelated docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprof_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill and the birds sing in the "
+    "garden trees near the old stone wall by the river"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # 1-word edit
+OTHER = (
+    "stock markets rallied sharply today as investors cheered the "
+    "central bank decision to hold interest rates steady for the "
+    "third consecutive quarter amid easing inflation data"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, NEAR),
+        (2, OTHER),
+        (3, BASE),  # exact dup of 0
+        (4, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs  # near dup collides
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard_verify(docs):
+    verified = dedup.near_dup_minhash(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert got[(0, 3)] == 1.0
+    assert (0, 1) in got and 0.5 <= got[(0, 1)] < 1.0
+    assert all(2 not in pair for pair in got)
+
+
+def test_jaccard_matches_python(docs):
+    """Exact Jaccard parity vs a pure-Python shingle computation."""
+    def py_shingles(t, k=3):
+        toks = [x for x in t.lower().split() if x]
+        if len(toks) < k:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    a, b = py_shingles(BASE), py_shingles(NEAR)
+    expect = len(a & b) / len(a | b)
+    pairs = docs.sparkSession.createDataFrame(
+        [(0, 1)], "id_a long, id_b long"
+    )
+    got = dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.0).collect()[0]
+    assert got["jaccard"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 3)) == 0  # identical text → identical simhash
+    assert (0, 1) in got  # near dup within hamming 10
+    assert (0, 2) not in got
+
+
+def test_simhash_deterministic(docs):
+    a = dedup.simhash64(F.col("text"))
+    one = docs.select(a.alias("s")).collect()
+    two = docs.select(a.alias("s")).collect()
+    assert [r["s"] for r in one] == [r["s"] for r in two]
+
+
+def test_minhash_signature_shape(docs):
+    sig = docs.select(
+        dedup.minhash_signature(F.col("text")).alias("sig")
+    ).collect()
+    assert all(len(r["sig"]) == dedup.N_PERM_DEFAULT for r in sig)
+    # empty-ish doc gets sentinel values, not nulls
+    assert all(v is not None for r in sig for v in r["sig"])

@@ -1,0 +1,64 @@
+"""Multimodal plumbing: schemas, batch shapes, determinism of the
+stubbed decode/feature/frame stages over binary columns."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprof_spark.operators import multimodal, similarity
+from dataprof_spark.pipeline import fixtures
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = fixtures.generate_pages(n=50)
+    pages = fixtures.pages_df(spark, rows)
+    return pages.select(
+        F.col("url").alias("media_id"), F.col("html").alias("payload")
+    ).cache()
+
+
+def test_decode_schema_and_determinism(media):
+    out = multimodal.decode_images(media)
+    assert out.columns == [
+        "media_id", "width", "height", "mode", "decoder", "avg_luma"
+    ]
+    a = {r["media_id"]: (r["width"], r["height"], r["avg_luma"])
+         for r in out.collect()}
+    b = {r["media_id"]: (r["width"], r["height"], r["avg_luma"])
+         for r in multimodal.decode_images(media.repartition(5)).collect()}
+    assert a == b  # layout-independent determinism
+    assert all(64 <= v[0] <= 255 for v in a.values())
+
+
+def test_features_feed_similarity(media, spark):
+    feats = multimodal.extract_features(media)
+    row = feats.first()
+    assert len(row["feature"]) == multimodal.FEATURE_DIM
+    # features are a valid input to the ANN operator
+    queries = feats.limit(2).select(
+        F.col("media_id").alias("query_id"), F.col("feature")
+    )
+    topk = similarity.brute_force_topk(
+        feats, queries, k=3, id_col="media_id", vec_col="feature"
+    )
+    got = topk.collect()
+    assert len(got) == 6
+    # self-similarity is always rank 1
+    r1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert all(q == n for q, n in r1.items())
+
+
+def test_frame_sampling(media):
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
+    got = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in got)
+    idx = frames.select("frame_idx").distinct().collect()
+    assert {r["frame_idx"] for r in idx} <= {0, 1, 2, 3}
+
+
+def test_size_balanced_repartition(media):
+    out = multimodal.size_balanced(media, target_partitions=4)
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == media.count()

@@ -1,0 +1,104 @@
+"""Structured Streaming: stream/batch parity on windowed aggregation,
+streaming quality gate, stateful sessionization."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprof_spark import queries
+from dataprof_spark.streaming import events as sev
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_batch_parity_hourly(spark, tmp_path):
+    # stage the events parquet as a one-file stream source
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
+
+    stream = sev.read_event_stream(spark, str(src))
+    agg = sev.hourly_agg(stream)
+    sev.run_to_memory(agg, "hourly_stream")
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("hourly_stream").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in queries.events_hourly(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    from dataprof_spark.pipeline import fixtures
+
+    rows = fixtures.generate_pages(n=100)
+    pages = fixtures.pages_df(spark, rows)
+    src = tmp_path / "pages_src"
+    pages.write.parquet(str(src))
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema).parquet(str(src))
+    )
+    gated = sev.streaming_quality_gate(stream)
+    q = (
+        gated.select("url", "keep", "drop_reason")
+        .writeStream.format("memory")
+        .queryName("gated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["url"]: r["drop_reason"] for r in spark.table("gated_stream").collect()}
+    from dataprof_spark.core import gates as pygates
+
+    assert len(got) == len(rows)
+    for r in rows:
+        expect = pygates.heuristic_reason(r["text"], english=(r["lang"] == "en"))
+        assert got[r["url"]] == expect
+
+
+def test_sessionize(spark, tmp_path):
+    import datetime as dt
+
+    from dataprof_spark.streaming import sessionize as ss
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: two sessions separated by 2h
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),
+        (1, base + dt.timedelta(hours=3), 5.0),
+        # user 2: one session
+        (2, base, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = tmp_path / "sess_src"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(src))
+    q = (
+        ss.sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sessions").collect()
+    # within one batch, user 1's first session closes (gap exceeded);
+    # open sessions are held in state until timeout, so exactly one
+    # closed session is emitted
+    closed = {(r["user_id"], r["n_events"], r["total_value"]) for r in got}
+    assert (1, 2, 3.0) in closed
