@@ -1,0 +1,75 @@
+"""ETL quality gate — the reference's accept/reject contract
+(/root/reference/python/examples/etl_quality_gate.py:41-102), recast
+over a Spark DataFrame:
+
+accept iff:
+- overall quality score ≥ min_quality (default 90 on a 0-100 scale)
+- all required columns present
+- missing cells ≤ max_missing_pct (default 5%)
+- the key column is unique and non-null
+- no negatives in positive-only columns
+
+Returns a structured verdict with per-check evidence (the reference
+prints reasons; we return them so pipelines can route rejects).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataprof_spark.functions import exprs
+from dataprof_spark.operators import quality
+
+
+@dataclass
+class GateResult:
+    accepted: bool
+    checks: dict[str, bool] = field(default_factory=dict)
+    evidence: dict[str, object] = field(default_factory=dict)
+
+
+def evaluate(
+    df: DataFrame,
+    key_col: str,
+    required_columns: list[str] | None = None,
+    positive_columns: list[str] | None = None,
+    min_quality: float = 90.0,
+    max_missing_pct: float = 5.0,
+) -> GateResult:
+    checks: dict[str, bool] = {}
+    evidence: dict[str, object] = {}
+
+    required = required_columns or []
+    missing_cols = [c for c in required if c not in df.columns]
+    checks["required_columns"] = not missing_cols
+    evidence["missing_columns"] = missing_cols
+
+    rep = quality.assess(df, key_col=key_col)
+    score = rep.overall_score * 100.0
+    checks["quality_score"] = score >= min_quality
+    evidence["quality_score"] = score
+
+    miss = rep.details["completeness"]["missing_values_ratio"] * 100.0
+    checks["missing_cells"] = miss <= max_missing_pct
+    evidence["missing_pct"] = miss
+
+    key_nulls = df.filter(F.col(key_col).isNull()).count()
+    key_uni = rep.details["uniqueness"].get("key_uniqueness")
+    checks["key_unique_non_null"] = key_nulls == 0 and key_uni == 1.0
+    evidence["key_nulls"] = key_nulls
+    evidence["key_uniqueness"] = key_uni
+
+    negatives = {}
+    for c in positive_columns or []:
+        n = df.filter(F.col(c) < 0).count()
+        if n:
+            negatives[c] = n
+    checks["no_negatives"] = not negatives
+    evidence["negatives"] = negatives
+
+    return GateResult(
+        accepted=all(checks.values()), checks=checks, evidence=evidence
+    )

@@ -103,6 +103,52 @@ def scrub_udf(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+_ENRICH_SCHEMA = T.StructType(
+    [
+        T.StructField("pred_lang", T.StringType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("scrubbed_text", T.StringType()),
+        T.StructField("email", T.IntegerType()),
+        T.StructField("phone", T.IntegerType()),
+        T.StructField("ip", T.IntegerType()),
+        T.StructField("blocklist", T.IntegerType()),
+    ]
+)
+
+
+@pandas_udf(_ENRICH_SCHEMA)
+def enrich_udf(texts: pd.Series) -> pd.DataFrame:
+    """ALL Python per-document work fused into ONE Arrow pass: langid
+    + perplexity + byte-exact scrub. Three separate pandas UDFs would
+    each become their own ArrowEvalPython node — 3× Arrow transfer of
+    the text column and 3 Python round trips per batch; fused it is
+    one. Same pure core functions as the labeler."""
+    from dataprof_spark.core import langid, perplexity, scrub
+
+    rows = []
+    for t in texts:
+        t = t or ""
+        scrubbed, counts = scrub.scrub_text(t)
+        rows.append(
+            (
+                langid.predict(t)[0],
+                perplexity.perplexity(t),
+                scrubbed,
+                counts["email"],
+                counts["phone"],
+                counts["ip"],
+                counts["blocklist"],
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "pred_lang", "ppl", "scrubbed_text",
+            "email", "phone", "ip", "blocklist",
+        ],
+    )
+
+
 # ------------------------------------------------------------- pipeline
 def decide(
     df: DataFrame,
@@ -122,18 +168,22 @@ def decide(
     Arrow-batched projections; everything else is codegen'd.
     """
     c = F.col(text_col)
-    sig = with_signals(df, text_col).withColumns(
+    sig = df.withColumns(
         {
             "heur_reason": heuristic_reason_col(text_col, lang_col),
-            "pred_lang": langid_udf(c),
-            "ppl": perplexity_udf(c),
-            "_scrub": scrub_udf(c),
+            "_py": enrich_udf(c),  # ONE fused Arrow/Python pass
         }
     )
     reason = (
         F.when(F.col("heur_reason").isNotNull(), F.col("heur_reason"))
-        .when(F.col("pred_lang") != F.col(lang_col), F.lit("lang_mismatch"))
-        .when(F.col("ppl") > config.MAX_PERPLEXITY, F.lit("high_perplexity"))
+        .when(
+            F.col("_py.pred_lang") != F.col(lang_col),
+            F.lit("lang_mismatch"),
+        )
+        .when(
+            F.col("_py.ppl") > config.MAX_PERPLEXITY,
+            F.lit("high_perplexity"),
+        )
         .otherwise(F.lit(None).cast("string"))
     )
     out = sig.withColumns(
@@ -144,7 +194,7 @@ def decide(
                 lang_col,
                 ts_col,
                 now_year,
-                pred_lang=F.col("pred_lang"),
+                pred_lang=F.col("_py.pred_lang"),
             ),
         }
     )
@@ -152,12 +202,12 @@ def decide(
         F.col(url_col).alias("url"),
         F.col("drop_reason").isNull().alias("keep"),
         "drop_reason",
-        F.col("_scrub.scrubbed_text").alias("scrubbed_text"),
+        F.col("_py.scrubbed_text").alias("scrubbed_text"),
         F.create_map(
-            F.lit("email"), F.col("_scrub.email"),
-            F.lit("phone"), F.col("_scrub.phone"),
-            F.lit("ip"), F.col("_scrub.ip"),
-            F.lit("blocklist"), F.col("_scrub.blocklist"),
+            F.lit("email"), F.col("_py.email"),
+            F.lit("phone"), F.col("_py.phone"),
+            F.lit("ip"), F.col("_py.ip"),
+            F.lit("blocklist"), F.col("_py.blocklist"),
         ).alias("scrub_counts"),
         "quality_score",
     )

@@ -1,0 +1,67 @@
+"""Spark-side pattern detection: deterministic sample scan → pure
+detection engine (core/patterns.py).
+
+The reference detects patterns on its ≤10k reservoir sample
+(profile_builder.rs:198-202); we sample with the content-hash sampler
+(partition-layout independent) so results are reproducible on any
+cluster size, then run the engine driver-side — 10k strings is ~1 MB,
+not a distributed problem. Full-corpus counting of a specific
+dialect-safe pattern stays native (functions/exprs.py email/phone/ip
+counts), which is the 100 TB path for the scrub decision."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataprof_spark import config
+from dataprof_spark.core import patterns as engine
+from dataprof_spark.functions import exprs
+from dataprof_spark.operators import sampling
+
+
+def detect_column_patterns(
+    df: DataFrame,
+    column: str,
+    locale: str | None = None,
+    sample_cap: int = 10_000,
+) -> list[dict]:
+    """Detected semantic patterns for one string column."""
+    nn = df.filter(~exprs.nulllike(F.col(column))).select(
+        F.col(column).cast("string").alias("v")
+    )
+    approx = nn.count()
+    if approx > sample_cap:
+        nn = sampling.exact_n_sample(
+            nn.withColumn("__id", F.col("v")), sample_cap, "__id",
+            seed=config.SEED,
+        ).drop("__id")
+    values = [r["v"] for r in nn.collect()]
+    return engine.detect(values, locale=locale)
+
+
+def dominant_pattern(df: DataFrame, column: str,
+                     locale: str | None = None) -> dict | None:
+    """Highest-confidence pattern with confidence ≥ 0.5 — the validity
+    dimension's anchor (reference validity.rs:20-71)."""
+    pats = detect_column_patterns(df, column, locale)
+    if pats and pats[0]["confidence"] >= 0.5:
+        return pats[0]
+    return None
+
+
+def validity_score(df: DataFrame, column: str,
+                   locale: str | None = None) -> float | None:
+    """Share of non-null values matching the dominant pattern over the
+    FULL column (native rlike — the sample only picks the pattern);
+    None when no dominant pattern exists ('not assessed')."""
+    dom = dominant_pattern(df, column, locale)
+    if dom is None:
+        return None
+    nn = df.filter(~exprs.nulllike(F.col(column)))
+    row = nn.agg(
+        F.avg(
+            F.col(column).cast("string").rlike(dom["regex"]).cast("double")
+        ).alias("r")
+    ).collect()[0]
+    return row["r"]

@@ -1,0 +1,93 @@
+"""spark-submit entrypoint for the full quality pipeline.
+
+Usage (cluster or local):
+    spark-submit --py-files dist/dataprof_spark.zip \
+        -m dataprof_spark.pipeline.run  # or path to this file
+        --input  <pages parquet/iceberg dir>
+        --output <decisions+manifest dir>
+        --buckets 64 --run-id backfill-2026-08
+
+Resumable by construction: re-running with the same --output skips
+partitions whose manifest row is `done` (pipeline/checkpoint.py).
+
+Build the deployable zip with:  python -m dataprof_spark.pipeline.run --make-zip dist/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def make_zip(dest_dir: str) -> str:
+    """Package the library for --py-files (zipimport-compatible)."""
+    import zipfile
+
+    import dataprof_spark
+
+    pkg_root = os.path.dirname(os.path.dirname(dataprof_spark.__file__))
+    os.makedirs(dest_dir, exist_ok=True)
+    out = os.path.join(dest_dir, "dataprof_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(
+            os.path.join(pkg_root, "dataprof_spark")
+        ):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, pkg_root))
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--make-zip", metavar="DIR")
+    parser.add_argument("--input")
+    parser.add_argument("--output")
+    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--run-id", default=None)
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    if args.make_zip:
+        print(make_zip(args.make_zip))
+        return 0
+    if not (args.input and args.output):
+        parser.error("--input and --output are required")
+
+    from pyspark.sql import SparkSession
+
+    from dataprof_spark.pipeline import checkpoint
+    from dataprof_spark.session import get_spark
+
+    # only stop the session if we created it (embedding callers — and
+    # tests — own their session; spark-submit owns none yet)
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(
+        app_name="dataprof_pipeline", master=args.master
+    )
+    pages = spark.read.parquet(args.input)
+    rows = checkpoint.run(
+        pages,
+        args.output,
+        run_id=args.run_id,
+        n_buckets=args.buckets,
+    )
+    summary = {
+        "partitions_processed": len(rows),
+        "docs_in": sum(r["docs_in"] for r in rows),
+        "docs_out": sum(r["docs_out"] for r in rows),
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+    if existing is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -151,6 +151,77 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (no row multiplication,
+    the planner's cheapest correlated-subquery strategy)."""
+    orders = _t(spark, sf_dir, "orders")
+    late = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-06-01")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate >= TIMESTAMP '1997-06-01'
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left OUTER join + two-level aggregation
+    (customers with zero orders must appear — the outer-join contract)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join: customers without any order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
 def topk_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N frequency truncation (reference A16: N=10, ties by value)."""
     from pyspark.sql import Window as W
@@ -420,6 +491,150 @@ FROM events
 """
 
 
+def events_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON flattening (reference §1.3: JSON objects flattened to
+    scalar columns, streaming_stats.rs:535-547): extract props.k and
+    aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            R6(F.avg(k)).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum((props->>'k')::BIGINT)::BIGINT AS sum_k,
+       round(avg((props->>'k')::BIGINT), 6) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def len_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bucket log2 text-length histogram (reference A15,
+    streaming_stats.rs:203-264)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.when(
+        F.length("text") > 0,
+        F.floor(F.log2(F.length("text"))).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        docs.groupBy(bucket.alias("log2_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("log2_bucket")
+    )
+
+
+LEN_HIST_SQL = """
+SELECT CASE WHEN length(text) > 0
+        THEN floor(log2(length(text)))::BIGINT ELSE 0 END AS log2_bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def datetime_distribution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime stats (reference A17): year/month/day-of-week
+    distribution of o_orderdate. DOW computed as days-since-a-known-
+    Monday mod 7 (0=Monday) — identical arithmetic in both engines,
+    avoiding the engines' different dayofweek() conventions."""
+    orders = _t(spark, sf_dir, "orders")
+    dow = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.lit("1996-01-01").cast("date")),
+        F.lit(7),
+    ).cast("long")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            dow.alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "m", "dow")
+    )
+
+
+DATETIME_DIST_SQL = """
+SELECT year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+       ((datediff('day', DATE '1996-01-01', o_orderdate::DATE) % 7) + 7) % 7
+         AS dow,
+       count(*)::BIGINT AS n
+FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def _scale_expr_spark(c):
+    """Effective decimal scale: smallest s in 0..6 with round(x,s)==x
+    (reference A24 precision.rs:21-88, round-trip formulation — the
+    same arithmetic is expressible in any engine)."""
+    expr = F.lit(6)
+    for s in range(5, -1, -1):
+        expr = F.when(F.round(c, s) == c, F.lit(s)).otherwise(expr)
+    return expr.cast("long")
+
+
+def precision_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal effective decimal scale of l_extendedprice and
+    l_discount (reference A24): per-scale counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            _scale_expr_spark(F.col("l_extendedprice")).alias("price_scale"),
+            _scale_expr_spark(F.col("l_discount")).alias("discount_scale"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("price_scale", "discount_scale")
+    )
+
+
+def _scale_expr_sql(col: str) -> str:
+    expr = "6"
+    for s in range(5, -1, -1):
+        expr = f"CASE WHEN round({col}, {s}) = {col} THEN {s} ELSE {expr} END"
+    return f"({expr})::BIGINT"
+
+
+PRECISION_SQL = f"""
+SELECT {_scale_expr_sql('l_extendedprice')} AS price_scale,
+       {_scale_expr_sql('l_discount')} AS discount_scale,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def pattern_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic pattern detection (reference §2.8 engine, 35 detectors
+    + confidence + overlap suppression) over the ISO-date string form
+    of o_orderdate — driver-side engine on a deterministic sample,
+    surfaced as a DataFrame. Non-SQL-expressible (suppression/locale
+    logic) → rows-only check; engine unit tests are the gate."""
+    from dataprof_spark.operators import patterns as pat
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").cast("string").alias("datestr")
+    )
+    res = pat.detect_column_patterns(orders, "datestr")
+    return spark.createDataFrame(
+        [
+            (
+                r["name"],
+                r["match_count"],
+                round(r["match_percentage"], 6),
+                round(r["confidence"], 6),
+            )
+            for r in res
+        ]
+        or [("<none>", 0, 0.0, 0.0)],
+        "pattern string, match_count long, match_pct double, confidence double",
+    )
+
+
 # =====================================================================
 # Document / web-text queries (the pipeline's own operator family)
 # =====================================================================
@@ -687,10 +902,22 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "q3_top_orders": (q3_top_orders, Q3_SQL),
         "q5_region_revenue": (q5_region_revenue, Q5_SQL),
         "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+        "q4_order_priority": (q4_order_priority, Q4_SQL),
+        "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+        "anti_join_customers_no_orders": (
+            anti_join_customers_no_orders, ANTI_SQL,
+        ),
         "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
         "moments_quantity": (moments_quantity, MOMENTS_SQL),
         "timeliness_orders": (timeliness_orders, TIMELINESS_SQL),
         "completeness_events": (completeness_events, COMPLETENESS_SQL),
+        "events_json_flatten": (events_json_flatten, EVENTS_JSON_SQL),
+        "len_histogram_docs": (len_histogram_docs, LEN_HIST_SQL),
+        "datetime_distribution_orders": (
+            datetime_distribution_orders, DATETIME_DIST_SQL,
+        ),
+        "precision_lineitem": (precision_lineitem, PRECISION_SQL),
+        "pattern_summary_orders": (pattern_summary_orders, None),
         **queries_dedup.registry(),
         "topk_order_priorities": (topk_order_priorities, TOPK_SQL),
         "outlier_iqr_quantity": (outlier_iqr_quantity, OUTLIER_SQL),

@@ -1,0 +1,139 @@
+"""Robust file readers (reference S1-S7 recast).
+
+The reference hand-rolls mmap chunking, delimiter autodetection,
+mojibake diagnosis, and ragged-row recovery
+(/root/reference/crates/dataprof-csv/src/robust_csv.rs:100-608).
+Spark's splittable readers subsume the IO mechanics; what we port is
+the POLICY layer:
+
+- delimiter autodetection over a small head sample (lib.rs:154-210
+  candidate set `, ; | \\t`, consistency-scored)
+- PERMISSIVE mode + corrupt-record column = ragged/parse recovery
+  with error COUNTS kept (the reference's Skip-vs-Strict contract,
+  dataprof-json/src/lib.rs:18-514)
+- metadata-only parquet ops: footer row count / schema without a scan
+  (dataprof-partial/src/lib.rs:63-180 quick_row_count/infer_schema)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELIMITER_CANDIDATES = (",", ";", "|", "\t")
+CORRUPT_COL = "_corrupt_record"
+
+
+def detect_delimiter(path: str, n_lines: int = 10) -> str:
+    """Pick the candidate whose per-line count is maximal, non-zero and
+    consistent across the head sample (reference scoring recast)."""
+    with open(path, "rb") as f:
+        head = f.read(256 * 1024)
+    lines = [
+        ln for ln in head.decode("utf-8", errors="replace").splitlines()
+        if ln.strip()
+    ][:n_lines]
+    if not lines:
+        return ","
+    best, best_score = ",", -1.0
+    for cand in DELIMITER_CANDIDATES:
+        counts = [ln.count(cand) for ln in lines]
+        if min(counts) == 0:
+            continue
+        consistency = 1.0 if len(set(counts)) == 1 else 0.5
+        score = consistency * (sum(counts) / len(counts))
+        if score > best_score:
+            best, best_score = cand, score
+    return best
+
+
+@dataclass
+class ReadResult:
+    df: DataFrame
+    corrupt_count: int
+    options: dict
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    delimiter: str | None = None,
+    strict: bool = False,
+    encoding: str = "UTF-8",
+    max_rows: int | None = None,
+) -> ReadResult:
+    """CSV with autodetected delimiter and recovery accounting.
+
+    strict=False → PERMISSIVE (ragged/bad rows land in the corrupt
+    column and are counted then dropped — the reference's Skip policy);
+    strict=True → FAILFAST (the Strict policy: first bad row aborts).
+    """
+    sep = delimiter or detect_delimiter(path)
+    opts = {
+        "header": "true",
+        "sep": sep,
+        "encoding": encoding,
+        "inferSchema": "true",
+        "mode": "FAILFAST" if strict else "PERMISSIVE",
+    }
+    reader = spark.read.options(**opts)
+    if strict:
+        df = reader.csv(path)
+        if max_rows:
+            df = df.limit(max_rows)
+        return ReadResult(df, 0, opts)
+    df = reader.option("columnNameOfCorruptRecord", CORRUPT_COL).csv(path)
+    if CORRUPT_COL in df.columns:
+        df = df.cache()
+        corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    else:
+        corrupt = 0
+    if max_rows:
+        df = df.limit(max_rows)
+    return ReadResult(df, corrupt, opts)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    strict: bool = False,
+    max_rows: int | None = None,
+) -> ReadResult:
+    """NDJSON with the same Skip/Strict error-policy contract."""
+    mode = "FAILFAST" if strict else "PERMISSIVE"
+    reader = spark.read.option("mode", mode)
+    if strict:
+        df = reader.json(path)
+        corrupt = 0
+    else:
+        df = reader.option(
+            "columnNameOfCorruptRecord", CORRUPT_COL
+        ).json(path)
+        if CORRUPT_COL in df.columns:
+            df = df.cache()
+            corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+            df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        else:
+            corrupt = 0
+    if max_rows:
+        df = df.limit(max_rows)
+    return ReadResult(df, corrupt, {"mode": mode})
+
+
+# ------------------------------------------------ metadata-only ops (S5)
+def quick_row_count(path: str) -> int:
+    """Parquet footer-only row count — no data scan (partial S5)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def infer_schema(path: str) -> dict[str, str]:
+    """Parquet footer-only schema (partial infer_schema)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(path).schema_arrow
+    return {f.name: str(f.type) for f in schema}

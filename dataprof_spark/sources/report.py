@@ -1,0 +1,145 @@
+"""ProfileReport sink (reference S12): versioned JSON save/load,
+markdown export, redacted LLM-context export.
+
+Contracts ported from the reference:
+- schema_version gate on load — newer-versioned reports are refused,
+  not misread (profile_report.rs:160-171)
+- LLM context is FAIL-CLOSED: sensitive detector categories are never
+  echoed; if pattern scanning did not run, the report says so rather
+  than implying safety; newlines in values are escaped against prompt
+  injection (python/dataprof/__init__.py:737-790)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+REPORT_SCHEMA_VERSION = 1
+
+# detector categories never echoed into LLM context (fail-closed set)
+SENSITIVE_CATEGORIES = ("email", "phone", "ip", "blocklist", "ssn",
+                        "credit_card", "iban")
+
+
+@dataclass
+class ProfileReport:
+    source: str
+    columns: list[dict] = field(default_factory=list)
+    quality: dict | None = None
+    execution: dict = field(default_factory=dict)
+    patterns_scanned: bool = False
+    schema_version: int = REPORT_SCHEMA_VERSION
+
+    @classmethod
+    def from_profiles(cls, source, profiles, quality_report=None,
+                      execution=None, patterns_scanned=False):
+        cols = []
+        for p in profiles:
+            d = dataclasses.asdict(p)
+            cols.append(d)
+        q = None
+        if quality_report is not None:
+            q = {
+                "dimensions": quality_report.dimensions,
+                "overall_score": quality_report.overall_score,
+                "details": quality_report.details,
+                "confidence": quality_report.confidence,
+            }
+        return cls(
+            source=source,
+            columns=cols,
+            quality=q,
+            execution=execution or {},
+            patterns_scanned=patterns_scanned,
+        )
+
+    # ------------------------------------------------------------ JSON
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, default=str, indent=1)
+
+    @classmethod
+    def load(cls, path: str) -> "ProfileReport":
+        with open(path) as f:
+            raw = json.load(f)
+        version = raw.get("schema_version", 0)
+        if version > REPORT_SCHEMA_VERSION:
+            raise ValueError(
+                f"report schema_version {version} is newer than supported "
+                f"{REPORT_SCHEMA_VERSION}; refusing to misread it"
+            )
+        return cls(**raw)
+
+    # -------------------------------------------------------- markdown
+    def to_markdown(self) -> str:
+        lines = [f"# Profile: {self.source}", ""]
+        if self.quality:
+            lines.append(
+                f"**Overall quality:** "
+                f"{self.quality['overall_score']:.3f} "
+                f"({self.quality['confidence']})"
+            )
+            for d, v in sorted(self.quality["dimensions"].items()):
+                if v is not None:
+                    lines.append(f"- {d}: {v:.3f}")
+            lines.append("")
+        lines.append(
+            "| column | type | inferred | nulls | distinct | approx |"
+        )
+        lines.append("|---|---|---|---|---|---|")
+        for c in self.columns:
+            lines.append(
+                f"| {c['name']} | {c['spark_type']} | "
+                f"{c['inferred_type']} | {c['null_count']} | "
+                f"{c['distinct_count']} | "
+                f"{'~' if c['distinct_is_approximate'] else '='} |"
+            )
+        return "\n".join(lines)
+
+    # ----------------------------------------------------- LLM context
+    def to_llm_context(self, token_budget: int = 2000) -> str:
+        """Redacted summary for LLM consumption. Fail-closed: when
+        patterns were not scanned, say so explicitly; never echo raw
+        values from sensitive categories; escape newlines in anything
+        echoed (anti prompt-injection)."""
+        parts = [f"Dataset profile for {_escape(self.source)}."]
+        if not self.patterns_scanned:
+            parts.append(
+                "PII/pattern scanning DID NOT RUN — treat all text "
+                "fields as potentially sensitive."
+            )
+        for c in self.columns:
+            desc = (
+                f"column {_escape(c['name'])}: {c['inferred_type']}, "
+                f"{c['null_count']}/{c['total_count']} null, "
+                f"{c['distinct_count']} distinct"
+            )
+            tops = [
+                t for t in c.get("top_values") or []
+                if not _is_sensitive_value(str(t[0]))
+            ][:3]
+            if tops and c.get("inferred_type") == "string":
+                desc += " e.g. " + ", ".join(
+                    _escape(str(t[0]))[:40] for t in tops
+                )
+            parts.append(desc)
+        if self.quality:
+            parts.append(
+                f"overall quality {self.quality['overall_score']:.2f}"
+            )
+        text = "\n".join(parts)
+        # ~4 chars/token budget (the reference's ceil(len/4) rule)
+        return text[: token_budget * 4]
+
+
+def _escape(s: str) -> str:
+    return s.replace("\n", "\\n").replace("\r", "\\r")
+
+
+def _is_sensitive_value(v: str) -> bool:
+    from dataprof_spark.core.scrub import _COMPILED
+
+    return any(rx.search(v) for rx in _COMPILED.values())

@@ -1,0 +1,77 @@
+"""ETL quality-gate contract (reference etl_quality_gate.py:41-102):
+a good batch passes, each defect class fails its specific check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprof_spark.operators import etl_gate
+
+GOOD = [
+    ("t1", "acc1", 100.0, "2026-01-05"),
+    ("t2", "acc2", 250.5, "2026-01-06"),
+    ("t3", "acc3", 99.99, "2026-01-07"),
+    ("t4", "acc1", 12.0, "2026-01-08"),
+]
+SCHEMA = "transaction_id string, account string, amount_eur double, booked_at string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).withColumn(
+        "booked_at", F.to_date("booked_at")
+    )
+
+
+def test_good_batch_accepted(spark):
+    res = etl_gate.evaluate(
+        _df(spark, GOOD),
+        key_col="transaction_id",
+        required_columns=["transaction_id", "account", "amount_eur"],
+        positive_columns=["amount_eur"],
+    )
+    assert res.accepted, res.evidence
+    assert all(res.checks.values())
+
+
+def test_duplicate_key_rejected(spark):
+    rows = GOOD + [("t1", "acc9", 5.0, "2026-01-09")]
+    res = etl_gate.evaluate(
+        _df(spark, rows), key_col="transaction_id",
+        positive_columns=["amount_eur"],
+    )
+    assert not res.accepted
+    assert not res.checks["key_unique_non_null"]
+
+
+def test_negative_amount_rejected(spark):
+    rows = GOOD + [("t5", "acc2", -10.0, "2026-01-09")]
+    res = etl_gate.evaluate(
+        _df(spark, rows), key_col="transaction_id",
+        positive_columns=["amount_eur"],
+    )
+    assert not res.accepted
+    assert not res.checks["no_negatives"]
+    assert res.evidence["negatives"] == {"amount_eur": 1}
+
+
+def test_missing_column_rejected(spark):
+    res = etl_gate.evaluate(
+        _df(spark, GOOD), key_col="transaction_id",
+        required_columns=["transaction_id", "not_there"],
+    )
+    assert not res.accepted
+    assert res.evidence["missing_columns"] == ["not_there"]
+
+
+def test_excess_missing_cells_rejected(spark):
+    rows = GOOD + [
+        ("t6", None, None, "2026-01-10"),
+        ("t7", None, None, "2026-01-11"),
+    ]
+    res = etl_gate.evaluate(
+        _df(spark, rows), key_col="transaction_id",
+        max_missing_pct=5.0,
+    )
+    assert not res.accepted
+    assert not res.checks["missing_cells"]

@@ -1,0 +1,134 @@
+"""Pattern engine behavior vs the reference's published semantics:
+detector matching, validator gating, confidence formula, overlap
+suppression, locale policy (patterns.rs:711-1651 test themes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataprof_spark.core import patterns, validators
+from dataprof_spark.operators import patterns as spark_patterns
+
+
+# ------------------------------------------------------------ validators
+def test_luhn():
+    assert validators.luhn("4532015112830366")  # valid Visa test number
+    assert not validators.luhn("4532015112830367")
+    assert not validators.luhn("1234")  # too short
+
+
+def test_iban_mod97():
+    assert validators.iban_mod97("GB82WEST12345698765432")
+    assert validators.iban_mod97("DE89370400440532013000")
+    assert not validators.iban_mod97("GB82WEST12345698765433")
+    assert not validators.iban_mod97("XX00")
+
+
+def test_piva():
+    assert validators.piva_it("12345670017")  # standard test P.IVA
+    assert not validators.piva_it("12345678901")
+    assert not validators.piva_it("1234567890")
+
+
+def test_ssn_rules():
+    assert validators.ssn_us("123-45-6789")
+    assert not validators.ssn_us("000-45-6789")
+    assert not validators.ssn_us("666-45-6789")
+    assert not validators.ssn_us("923-45-6789")
+    assert not validators.ssn_us("123-00-6789")
+    assert not validators.ssn_us("123-45-0000")
+
+
+def test_ipv6():
+    assert validators.ipv6("2001:db8::1")
+    assert validators.ipv6("::1")
+    assert not validators.ipv6("2001:zz8::1")
+    assert not validators.ipv6(":")
+
+
+def test_coordinates_decimal_comma_disambiguation():
+    assert validators.coordinates("45.4642, 9.1900")
+    assert validators.coordinates("-33.9, 151.2")
+    # reference rule: `1.234,56` is a locale decimal, not coordinates
+    assert not validators.coordinates("1.234,56")
+    assert not validators.coordinates("95.0, 10.0")  # lat out of range
+
+
+# --------------------------------------------------------------- engine
+def test_email_detection_and_confidence():
+    vals = [f"user{i}@example.com" for i in range(10)]
+    res = patterns.detect(vals)
+    top = res[0]
+    assert top["name"] == "Email"
+    assert top["match_count"] == 10
+    # 100% match → factor 1.0 → confidence == specificity/100
+    assert top["confidence"] == pytest.approx(0.80)
+
+
+def test_min_threshold_gates_reporting():
+    # 1 email among 100 values = 1% < min_threshold 3% → not reported
+    vals = ["plainword"] * 99 + ["a@b.com"]
+    names = {r["name"] for r in patterns.detect(vals)}
+    assert "Email" not in names
+
+
+def test_validator_pass_rate_penalizes():
+    # 10 credit-card-shaped values, half failing Luhn
+    good = ["4532015112830366"] * 5
+    bad = ["4532015112830367"] * 5
+    res = {r["name"]: r for r in patterns.detect(good + bad)}
+    cc = res["Credit Card"]
+    assert cc["confidence"] == pytest.approx(0.60 * 1.0 * 0.5)
+
+
+def test_overlap_suppression():
+    # UUIDs (spec 85) also look nothing like Labeled Identifier, but
+    # SSN-shaped (spec 70) values also match Date (EU dash, spec 50)?
+    # Use the canonical case: 5-digit strings match CAP/PLZ/FR (equal
+    # spec 30/35) — equal specificity never suppresses; but ZIP (35)
+    # vs PLZ (30): ZIP explains 100% of PLZ's matches → PLZ suppressed.
+    vals = ["12345"] * 10
+    res = {r["name"] for r in patterns.detect(vals)}
+    assert "ZIP Code (US)" in res or "CAP (IT)" in res
+    assert "German PLZ" not in res  # suppressed by ZIP (35 > 30)
+    assert "French Code Postal" not in res
+
+
+def test_locale_policy_boost_and_drop():
+    vals = ["00144"] * 10  # valid CAP range, also ZIP-shaped
+    with_it = {r["name"]: r for r in patterns.detect(vals, locale="IT")}
+    assert "CAP (IT)" in with_it
+    assert "ZIP Code (US)" not in with_it  # other-locale dropped
+    cap = with_it["CAP (IT)"]
+    # boosted ×1.2 and floored at 0.5 for strong matches
+    assert cap["confidence"] >= 0.5
+
+
+def test_locale_ambiguity_penalty_without_config():
+    vals = ["12345"] * 10
+    res = {r["name"]: r for r in patterns.detect(vals)}
+    # surviving 5-digit geo pattern is penalized by the multi-locale
+    # ambiguity rule (0.75 / n_locales with identical bitmaps)
+    survivor = next(
+        r for n, r in res.items()
+        if n in ("ZIP Code (US)", "CAP (IT)")
+    )
+    unpenalized = patterns.confidence(35, 100.0, survivor["match_count"] and 1.0)
+    assert survivor["confidence"] < unpenalized
+
+
+# ---------------------------------------------------------- spark layer
+def test_detect_on_spark_column(spark):
+    rows = [(f"u{i}@mail.org",) for i in range(50)] + [("junk",)] * 5
+    df = spark.createDataFrame(rows, "email string")
+    res = spark_patterns.detect_column_patterns(df, "email")
+    assert res[0]["name"] == "Email"
+    v = spark_patterns.validity_score(df, "email")
+    assert v == pytest.approx(50 / 55)
+
+
+def test_validity_not_assessed_without_dominant(spark):
+    df = spark.createDataFrame(
+        [("some plain text",), ("more words here",)], "t string"
+    )
+    assert spark_patterns.validity_score(df, "t") is None

@@ -1,0 +1,116 @@
+"""Sources & sinks: delimiter autodetect, permissive/strict policy,
+metadata-only parquet ops, versioned report save/load, redacted LLM
+context."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataprof_spark.operators import profiler, quality
+from dataprof_spark.sources import readers, report
+
+
+def test_detect_delimiter(tmp_path):
+    cases = {
+        ",": "a,b,c\n1,2,3\n4,5,6\n",
+        ";": "a;b;c\n1;2;3\n4;5;6\n",
+        "|": "a|b|c\n1|2|3\n",
+        "\t": "a\tb\tc\n1\t2\t3\n",
+    }
+    for want, content in cases.items():
+        p = tmp_path / f"d{ord(want)}.csv"
+        p.write_text(content)
+        assert readers.detect_delimiter(str(p)) == want
+
+
+def test_csv_permissive_ragged_pad_truncate(spark, tmp_path):
+    """Ragged rows are recovered by pad/truncate — the reference's P7
+    normalization (incremental.rs:184-192), which Spark PERMISSIVE
+    implements natively: short rows pad with NULL, long rows drop the
+    trailing extras."""
+    p = tmp_path / "ragged.csv"
+    p.write_text("a,b,c\n1,2,3\n4,5\n6,7,8,9\n10,11,12\n")
+    res = readers.read_csv_robust(spark, str(p))
+    rows = {tuple(r) for r in res.df.collect()}
+    assert (4, 5, None) in rows      # padded
+    assert (6, 7, 8) in rows         # truncated
+    assert res.df.count() == 4
+    assert res.options["sep"] == ","
+
+
+def test_csv_strict_raises(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nx\n")
+    res = readers.read_csv_robust(spark, str(p), strict=True)
+    # FAILFAST surfaces on materialization
+    import py4j
+
+    with pytest.raises(Exception):
+        res.df.collect()
+
+
+def test_jsonl_skip_policy(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"a": 1}\nnot json at all\n{"a": 3}\n')
+    res = readers.read_jsonl(spark, str(p))
+    assert res.df.count() == 2
+    assert res.corrupt_count == 1
+
+
+def test_parquet_metadata_ops():
+    path = "/root/testdata/sf0.001/orders.parquet"
+    n = readers.quick_row_count(path)
+    schema = readers.infer_schema(path)
+    assert n > 0
+    assert schema["o_orderkey"].startswith("int")
+    assert "o_orderdate" in schema
+
+
+def test_report_roundtrip_and_version_gate(spark, tmp_path):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    profs = profiler.profile(df)
+    qrep = quality.assess(df, key_col="o_orderkey")
+    rep = report.ProfileReport.from_profiles(
+        "orders", profs, qrep, execution={"rows": df.count()},
+        patterns_scanned=True,
+    )
+    path = str(tmp_path / "report.json")
+    rep.save(path)
+    loaded = report.ProfileReport.load(path)
+    assert loaded.source == "orders"
+    assert len(loaded.columns) == len(profs)
+    assert loaded.quality["overall_score"] == pytest.approx(
+        rep.quality["overall_score"]
+    )
+    # newer schema version is refused, not misread
+    import json
+
+    raw = json.load(open(path))
+    raw["schema_version"] = 99
+    json.dump(raw, open(path, "w"))
+    with pytest.raises(ValueError, match="newer"):
+        report.ProfileReport.load(path)
+
+
+def test_markdown_and_llm_context_redaction():
+    rep = report.ProfileReport(
+        source="t",
+        columns=[
+            {
+                "name": "email", "spark_type": "string",
+                "inferred_type": "string", "total_count": 10,
+                "null_count": 0, "distinct_count": 10,
+                "distinct_is_approximate": False,
+                "top_values": [("bob@x.com", 3), ("hello", 2)],
+            }
+        ],
+        patterns_scanned=False,
+    )
+    md = rep.to_markdown()
+    assert "| email | string |" in md
+    ctx = rep.to_llm_context()
+    # fail-closed banner when patterns weren't scanned
+    assert "DID NOT RUN" in ctx
+    # sensitive value never echoed; benign one may be
+    assert "bob@x.com" not in ctx
+    assert "hello" in ctx
