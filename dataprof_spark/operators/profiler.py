@@ -221,17 +221,36 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES) -> list[ColumnProfi
             )
         )
 
-    # third job: top-k values for low-cardinality string columns (A16)
+    # third job: top/bottom-k values for low-cardinality string
+    # columns (A16: N=10, ties broken by value) and numeric mode (A6:
+    # smallest value at max frequency, None when all values unique)
     for p in profiles:
         if p.spark_type == "string" and p.distinct_count <= 1000:
-            rows = (
+            counted = df.groupBy(p.name).agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            rows = counted.orderBy(
+                F.desc("cnt"), F.col(p.name).asc_nulls_last()
+            ).limit(top_k).collect()
+            p.top_values = [(r[p.name], r["cnt"]) for r in rows]
+            brows = counted.orderBy(
+                F.asc("cnt"), F.col(p.name).asc_nulls_last()
+            ).limit(top_k).collect()
+            p.stats["bottom_values"] = [(r[p.name], r["cnt"]) for r in brows]
+        elif (
+            p.inferred_type in ("integer", "float")
+            and p.distinct_count <= 100_000
+        ):
+            mrow = (
                 df.groupBy(p.name)
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .orderBy(F.desc("cnt"), F.col(p.name).asc_nulls_last())
-                .limit(top_k)
-                .collect()
+                .first()
             )
-            p.top_values = [(r[p.name], r["cnt"]) for r in rows]
+            if mrow is not None and mrow["cnt"] > 1:
+                p.stats["mode"] = mrow[p.name]
+            else:
+                p.stats["mode"] = None  # all unique → no mode (A6)
     return profiles
 
 

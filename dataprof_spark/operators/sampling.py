@@ -67,3 +67,43 @@ def stratified_fraction(df: DataFrame, key_col: str,
                         fractions: dict, seed: int = config.SEED) -> DataFrame:
     """Per-stratum fractional sample (Spark-native sampleBy)."""
     return df.sampleBy(key_col, fractions, seed)
+
+
+def progressive(
+    df: DataFrame,
+    numeric_cols: list[str],
+    id_col: str,
+    initial: int = 1_000,
+    confidence: float = 0.95,
+    max_size: int = 100_000,
+    seed: int = config.SEED,
+) -> tuple[DataFrame, int]:
+    """Progressive sampling (strategies.rs Progressive): grow the
+    sample until the relative standard error of EVERY numeric mean is
+    ≤ 1 - confidence, or max_size is reached. Driver-side loop —
+    each iteration is one small agg job; at scale this touches a
+    shrinking fraction of the data, which is the point."""
+    size = initial
+    while True:
+        sample = exact_n_sample(df, size, id_col, seed)
+        aggs = []
+        for c in numeric_cols:
+            d = F.col(c).cast("double")
+            aggs += [
+                F.avg(d).alias(f"{c}__m"),
+                F.stddev_samp(d).alias(f"{c}__s"),
+                F.count(d).alias(f"{c}__n"),
+            ]
+        row = sample.agg(*aggs).collect()[0]
+        ok = True
+        for c in numeric_cols:
+            m, s, n = row[f"{c}__m"], row[f"{c}__s"], row[f"{c}__n"]
+            if not n or m is None or s is None or m == 0:
+                continue
+            rse = (s / (n ** 0.5)) / abs(m)
+            if rse > (1.0 - confidence):
+                ok = False
+                break
+        if ok or size >= max_size:
+            return sample, size
+        size = min(size * 2, max_size)

@@ -84,7 +84,12 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
+        .groupBy(
+            "l_orderkey",
+            # timestamp outputs go out as strings: engines disagree on
+            # tz-awareness, strings hash identically everywhere
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
         .agg(
             R6(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -96,13 +101,13 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q3_SQL = """
-SELECT l_orderkey, o_orderdate,
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
-GROUP BY l_orderkey, o_orderdate
+GROUP BY 1, 2
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
@@ -291,7 +296,9 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
             "event_type",
         )
         .agg(
@@ -303,7 +310,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_SQL = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """

@@ -123,6 +123,43 @@ def read_jsonl(
     return ReadResult(df, corrupt, {"mode": mode})
 
 
+# ---------------------------------------------- row-cap provenance (2.6)
+@dataclass
+class CapResult:
+    df: DataFrame
+    rows: int
+    truncated: bool
+    truncation_reason: str | None
+
+
+def apply_row_cap(df: DataFrame, max_rows: int) -> CapResult:
+    """Hard row cap with the reference's truncation-provenance
+    contract (stop_condition.rs:14-16, 80-100 and the test
+    `a_condition_met_on_the_last_chunk_is_not_a_truncation`):
+    cap == rowcount is NOT truncation — only discarding rows is."""
+    capped = df.limit(max_rows + 1).cache()
+    n = capped.count()
+    truncated = n > max_rows
+    out = capped.limit(max_rows) if truncated else capped
+    return CapResult(
+        df=out,
+        rows=min(n, max_rows),
+        truncated=truncated,
+        truncation_reason="max_rows" if truncated else None,
+    )
+
+
+# ------------------------------------------- pandas/Arrow interop (S10/11)
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """Arrow-accelerated pandas → Spark (S10)."""
+    return spark.createDataFrame(pdf)
+
+
+def to_arrow(df: DataFrame):
+    """Spark → pyarrow.Table (S11 zero-copy-ish interop path)."""
+    return df.toArrow()
+
+
 # ------------------------------------------------ metadata-only ops (S5)
 def quick_row_count(path: str) -> int:
     """Parquet footer-only row count — no data scan (partial S5)."""

@@ -48,7 +48,7 @@ def hourly_agg(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("hour"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
             "n_events",
             "sum_value",
