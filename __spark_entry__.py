@@ -39,8 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def _pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline (langid + perplexity + scrub UDFs) — rows-only."""
     from dataprof_spark.operators import gates
+    from dataprof_spark.session import rebalance
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = rebalance(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     pages = docs.select(
         F.col("doc_id").cast("string").alias("url"), "text", "lang"
     )

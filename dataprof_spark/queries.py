@@ -28,6 +28,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, rebalanced: the per-row regex/UDF cost of the
+    signal queries is high enough that a one-off round-robin shuffle
+    of the (tiny, single-file) sandbox input pays for itself ~2-3×.
+    No-op at real scale (see session.rebalance)."""
+    from dataprof_spark.session import rebalance
+
+    return rebalance(_t(spark, sf_dir, "documents"))
+
+
 R6 = lambda c: F.round(c, 6)  # noqa: E731
 
 
@@ -648,7 +658,7 @@ def pattern_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals, all native expressions."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -685,7 +695,7 @@ FROM documents ORDER BY doc_id
 
 def doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic keep/drop cascade (SQL-expressible subset) per doc."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     reason = exprs.heuristic_reason(
         F.col("text"), english=F.col("lang") == "en"
     )
@@ -739,7 +749,7 @@ def doc_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detector counts per document (reference patterns.rs:45-104
     Email/Phone/IPv4 recast; native regexp_count — the scrubber itself
     uses Python re, see operators/gates.scrub_udf)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -761,7 +771,7 @@ FROM documents ORDER BY doc_id
 
 def doc_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-expressible stopword-langid + agreement with claimed lang."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pred = exprs.stopword_langid(F.col("text"))
     return docs.select(
         "doc_id",
@@ -824,7 +834,7 @@ FROM ({inner}) GROUP BY drop_reason ORDER BY drop_reason
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword estimate
     (alnum runs + non-space symbols as single tokens)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     c = F.col("text")
     ws = F.size(
         F.filter(F.split(c, r"\s+", -1), lambda x: x != "")
@@ -852,7 +862,7 @@ FROM documents ORDER BY doc_id
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text (deterministic, engine-portable)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return docs.select(
         "doc_id", F.md5(F.trim(norm)).alias("fingerprint")

@@ -42,6 +42,19 @@ def get_spark(
     return spark
 
 
+def rebalance(df):
+    """Round-robin repartition ONLY when the source yielded fewer
+    input splits than the cluster has slots (single small parquet
+    files in the sandbox). At real scale (100 TB → thousands of
+    splits) the condition is false and this is a no-op — the scan
+    parallelism comes from the splits themselves."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
     """Read driver-provided parquet tables and register temp views."""
     out = {}
