@@ -831,6 +831,30 @@ FROM ({inner}) GROUP BY drop_reason ORDER BY drop_reason
 """
 
 
+def salted_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation (operators/skew.py): two-stage salted
+    count+sum per source. The salt is an execution detail — results
+    must equal a plain GROUP BY, which is exactly what the DuckDB
+    oracle asserts."""
+    from dataprof_spark.operators import skew
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("v")
+    )
+    out = skew.salted_count_sum(docs, "source", "v")
+    return out.select(
+        "source", F.col("cnt").cast("long").alias("cnt"),
+        R6(F.col("total")).alias("total"),
+    ).orderBy("source")
+
+
+SALTED_SQL = """
+SELECT source, count(*)::BIGINT AS cnt,
+       round(sum(n_chars::DOUBLE), 6) AS total
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword estimate
     (alnum runs + non-space symbols as single tokens)."""
@@ -947,6 +971,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "dedup_exact": (dedup_exact, DEDUP_SQL),
         "corpus_drop_histogram": (corpus_drop_histogram, _corpus_hist_sql()),
         "doc_token_counts": (doc_token_counts, TOKEN_SQL),
+        "salted_source_agg": (salted_source_agg, SALTED_SQL),
         "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
         "profile_documents": (profile_documents, PROFILE_SQL),
     }

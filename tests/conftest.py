@@ -10,10 +10,17 @@ SF01_DIR = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     spark = get_spark(
         app_name="dataprof_spark_tests",
         master="local[4]",
         shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(
+                prefix="spark_wh_"
+            ),
+        },
     )
     yield spark
     spark.stop()
