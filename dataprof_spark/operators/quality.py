@@ -82,10 +82,12 @@ def assess(df: DataFrame, key_col: str | None = None,
         notp = ~p
         complete_row = notp if complete_row is None else (complete_row & notp)
     aggs.append(F.sum(complete_row.cast("long")).alias("__complete_rows"))
-    # uniqueness: row duplicates via hash of all columns (A11)
+    # uniqueness: row duplicates via 64-bit hash of all columns (A11;
+    # xxhash64 not 32-bit hash() — at 10^7+ rows 32-bit birthday
+    # collisions would inflate the duplicate count)
     aggs.append(
         F.countDistinct(
-            F.hash(*[F.col(f_.name) for f_ in fields_])
+            F.xxhash64(*[F.col(f_.name) for f_ in fields_])
         ).alias("__distinct_rows")
     )
     if key_col:

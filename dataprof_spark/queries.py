@@ -831,6 +831,96 @@ FROM ({inner}) GROUP BY drop_reason ORDER BY drop_reason
 """
 
 
+def quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship output — dataset quality dimensions +
+    renormalized weighted overall score (quality.rs:395-411) — on the
+    orders table, surfaced as one row and fully oracle-checked: the
+    DuckDB SQL recomputes every dimension with the same arithmetic."""
+    from dataprof_spark.operators import quality
+
+    orders = _t(spark, sf_dir, "orders")
+    rep = quality.assess(orders, key_col="o_orderkey")
+    d = rep.dimensions
+    return spark.createDataFrame(
+        [
+            (
+                round(d["completeness"], 6),
+                round(d["uniqueness"], 6),
+                round(d["consistency"], 6),
+                round(d["accuracy"], 6),
+                round(d["timeliness"], 6),
+                round(rep.overall_score, 6),
+            )
+        ],
+        "completeness double, uniqueness double, consistency double, "
+        "accuracy double, timeliness double, overall_score double",
+    )
+
+
+def _quality_orders_sql() -> str:
+    w = config.QUALITY_WEIGHTS
+    k = config.OUTLIER_IQR_K
+    stale = 2026 - config.STALE_YEARS
+    # numeric cols of orders: o_orderkey, o_custkey, o_totalprice
+    # string cols: o_orderstatus, o_orderpriority; ts col: o_orderdate
+    den = (
+        w["completeness"] + w["uniqueness"] + w["consistency"]
+        + w["accuracy"] + w["timeliness"]
+    )
+    return f"""
+WITH base AS (
+  SELECT count(*) AS total,
+         (SELECT count(*) FROM (SELECT DISTINCT * FROM orders)) AS distinct_rows,
+         count(DISTINCT o_orderkey) AS key_distinct,
+         count(o_orderkey) AS key_nn,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END
+           + CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END
+           + CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END
+           + CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END
+           + CASE WHEN o_orderstatus IS NULL OR trim(o_orderstatus) = ''
+                   OR lower(trim(o_orderstatus)) IN ('null','nan')
+              THEN 1 ELSE 0 END
+           + CASE WHEN o_orderpriority IS NULL OR trim(o_orderpriority) = ''
+                   OR lower(trim(o_orderpriority)) IN ('null','nan')
+              THEN 1 ELSE 0 END) AS total_nulls,
+         sum(CASE WHEN year(o_orderdate) > 2026 THEN 1 ELSE 0 END) AS fut,
+         sum(CASE WHEN year(o_orderdate) < {stale} THEN 1 ELSE 0 END) AS stl,
+         count(o_orderdate) AS ts_n
+  FROM orders
+), q AS (
+  SELECT quantile_cont(o_orderkey, 0.25) AS k1, quantile_cont(o_orderkey, 0.75) AS k3,
+         quantile_cont(o_custkey, 0.25) AS c1, quantile_cont(o_custkey, 0.75) AS c3,
+         quantile_cont(o_totalprice, 0.25) AS p1, quantile_cont(o_totalprice, 0.75) AS p3
+  FROM orders
+), outl AS (
+  SELECT sum(CASE WHEN o_orderkey < k1 - {k}*(k3-k1) OR o_orderkey > k3 + {k}*(k3-k1) THEN 1 ELSE 0 END
+           + CASE WHEN o_custkey < c1 - {k}*(c3-c1) OR o_custkey > c3 + {k}*(c3-c1) THEN 1 ELSE 0 END
+           + CASE WHEN o_totalprice < p1 - {k}*(p3-p1) OR o_totalprice > p3 + {k}*(p3-p1) THEN 1 ELSE 0 END
+        ) AS n_out,
+        3 * count(*) AS pooled
+  FROM orders, q
+), dims AS (
+  SELECT
+    1.0 - total_nulls::DOUBLE / (total * 6) AS completeness,
+    least(1.0 - (total - distinct_rows)::DOUBLE / total,
+          key_distinct::DOUBLE / key_nn) AS uniqueness,
+    1.0 AS consistency,
+    greatest(0.0, 1.0 - n_out::DOUBLE / pooled) AS accuracy,
+    greatest(0.0, 1.0 - (fut + 0.5 * stl)::DOUBLE / ts_n) AS timeliness
+  FROM base, outl
+)
+SELECT round(completeness, 6) AS completeness,
+       round(uniqueness, 6) AS uniqueness,
+       round(consistency, 6) AS consistency,
+       round(accuracy, 6) AS accuracy,
+       round(timeliness, 6) AS timeliness,
+       round((completeness * {w['completeness']} + uniqueness * {w['uniqueness']}
+            + consistency * {w['consistency']} + accuracy * {w['accuracy']}
+            + timeliness * {w['timeliness']}) / {den}, 6) AS overall_score
+FROM dims
+"""
+
+
 def salted_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation (operators/skew.py): two-stage salted
     count+sum per source. The salt is an execution detail — results
@@ -972,6 +1062,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "corpus_drop_histogram": (corpus_drop_histogram, _corpus_hist_sql()),
         "doc_token_counts": (doc_token_counts, TOKEN_SQL),
         "salted_source_agg": (salted_source_agg, SALTED_SQL),
+        "quality_report_orders": (quality_report_orders, _quality_orders_sql()),
         "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
         "profile_documents": (profile_documents, PROFILE_SQL),
     }

@@ -135,6 +135,32 @@ class ProfileReport:
         return text[: token_budget * 4]
 
 
+def compare(a: "ProfileReport", b: "ProfileReport") -> dict:
+    """Diff two reports (reference compare(),
+    python/dataprof/__init__.py:2277-2357): added / removed / common
+    columns and per-dimension quality deltas (b - a)."""
+    cols_a = {c["name"] for c in a.columns}
+    cols_b = {c["name"] for c in b.columns}
+    deltas = {}
+    if a.quality and b.quality:
+        for dim in set(a.quality["dimensions"]) | set(
+            b.quality["dimensions"]
+        ):
+            va = a.quality["dimensions"].get(dim)
+            vb = b.quality["dimensions"].get(dim)
+            if va is not None and vb is not None:
+                deltas[dim] = vb - va
+        deltas["overall_score"] = (
+            b.quality["overall_score"] - a.quality["overall_score"]
+        )
+    return {
+        "added_columns": sorted(cols_b - cols_a),
+        "removed_columns": sorted(cols_a - cols_b),
+        "common_columns": sorted(cols_a & cols_b),
+        "quality_deltas": deltas,
+    }
+
+
 def _escape(s: str) -> str:
     return s.replace("\n", "\\n").replace("\r", "\\r")
 
