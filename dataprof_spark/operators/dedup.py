@@ -202,6 +202,55 @@ def near_dup_minhash(
 
 
 # ----------------------------------------------------------- simhash
+def simhash_md5_60(c: Column, n_bits: int = 20) -> Column:
+    """Engine-portable SimHash: token hash = first 15 md5 hex chars
+    (60 bits, fits signed 64 everywhere); fingerprint over the low
+    `n_bits` bits. Exists so the SimHash pipeline has a DuckDB oracle
+    (xxhash64 has no DuckDB twin); production uses simhash64."""
+    toks = F.filter(F.split(F.lower(c), r"\s+", -1), lambda x: x != "")
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        # the lambda is evaluated eagerly by F.aggregate, so the loop
+        # variable binds immediately (no late-binding hazard)
+        s = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .cast("long"),
+        )
+        out = out + F.shiftleft(
+            F.when(s > 0, F.lit(1).cast("long")).otherwise(0), i
+        )
+    return out
+
+
+def duckdb_simhash_sql(n_bits: int = 20) -> str:
+    """DuckDB twin of simhash_md5_60 over the documents table
+    (doc_id, simhash)."""
+    toks = (
+        "list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x != '')"
+    )
+    hashes = (
+        f"list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN "
+        f"(h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN 1::BIGINT << {i} ELSE 0::BIGINT END)"
+        for i in range(n_bits)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hashes} AS hs FROM documents)
+SELECT doc_id, ({bits})::BIGINT AS simhash FROM h ORDER BY doc_id
+"""
+
+
 def simhash64(c: Column) -> Column:
     """64-bit SimHash over word tokens (deterministic, native).
 

@@ -1,0 +1,82 @@
+"""Corpus-level dedup pass — phase 2 of the pipeline.
+
+Per-document decisions (phase 1, pipeline/checkpoint.py) are pure
+functions and resume per partition. Cross-document deduplication
+inherently needs a corpus-wide view, so it runs as a SEPARATE pass
+over the phase-1 output: deterministic (canonical = smallest url per
+fingerprint group, a total order — never first-seen), so re-running
+phase 2 after a resume yields byte-identical results.
+
+At 100 TB: one hash-partitioned shuffle on a 32-char fingerprint —
+the md5 key is uniform, so no skew; the window degenerates to a
+per-group min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def mark_exact_duplicates(
+    decisions: DataFrame,
+    text_col: str = "scrubbed_text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Demote non-canonical members of identical-text groups:
+    keep=false, drop_reason='exact_duplicate'. Only previously-kept
+    documents participate (a dropped doc can't shadow a kept one)."""
+    fp = F.when(
+        F.col("keep"), F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    )
+    w = W.partitionBy("__fp")
+    out = (
+        decisions.withColumn("__fp", fp)
+        .withColumn(
+            "__canonical",
+            F.col("__fp").isNull()
+            | (F.col(url_col) == F.min(url_col).over(w)),
+        )
+        .withColumns(
+            {
+                "keep": F.col("keep") & F.col("__canonical"),
+                "drop_reason": F.when(
+                    F.col("keep") & F.col("__canonical"),
+                    F.lit(None).cast("string"),
+                ).when(
+                    ~F.col("__canonical"), F.lit("exact_duplicate")
+                ).otherwise(F.col("drop_reason")),
+            }
+        )
+        .drop("__fp", "__canonical")
+    )
+    return out
+
+
+def label_exact_duplicates(rows: list[dict]) -> list[dict]:
+    """Single-node twin for the labeler (same canonical rule)."""
+    import hashlib
+    import re
+
+    def fp(text: str) -> str:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        return hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+    canonical: dict[str, str] = {}
+    for r in rows:
+        if not r["keep"]:
+            continue
+        h = fp(r["scrubbed_text"])
+        if h not in canonical or r["url"] < canonical[h]:
+            canonical[h] = r["url"]
+    out = []
+    for r in rows:
+        r = dict(r)
+        if r["keep"]:
+            h = fp(r["scrubbed_text"])
+            if canonical[h] != r["url"]:
+                r["keep"] = False
+                r["drop_reason"] = "exact_duplicate"
+        out.append(r)
+    return out

@@ -175,6 +175,15 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_md5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash (md5-derived token hashes, 20 bits) —
+    proves the sign-sum fingerprint construction end-to-end in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", dedup.simhash_md5_60(F.col("text")).alias("simhash")
+    )
+
+
 def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return sampling.systematic(docs, 7, "doc_id").select("doc_id", "lang")
@@ -206,6 +215,9 @@ def registry():
         "near_dup_pairs": (near_dup_pairs, _ddb_near_dup_sql()),
         "ann_topk": (ann_topk, ANN_SQL),
         "simhash_fingerprints": (simhash_fingerprints, None),
+        "simhash_md5_fingerprints": (
+            simhash_md5_fingerprints, dedup.duckdb_simhash_sql(),
+        ),
         "sample_systematic": (sample_systematic, SAMPLE_SYS_SQL),
         "sample_hash": (sample_hash, SAMPLE_HASH_SQL),
     }
