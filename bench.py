@@ -160,7 +160,8 @@ def run_executor_scaling() -> dict:
 
     def run_phase(worker_specs):
         """Start workers, wait for all warm-ups, release the barrier,
-        time the synchronized measured window (parent wall clock)."""
+        time go → last `done` marker (teardown excluded — JVM
+        shutdown is constant noise, not pipeline work)."""
         bdir = tempfile.mkdtemp(prefix="bench_barrier_")
         procs = [
             subprocess.Popen(
@@ -174,28 +175,41 @@ def run_executor_scaling() -> dict:
             < len(procs)
         ):
             time.sleep(0.1)
-            if any(p.poll() not in (None,) and p.poll() != 0 for p in procs):
+            if any(p.poll() is not None and p.poll() != 0 for p in procs):
                 raise RuntimeError("bench worker died before barrier")
         open(os.path.join(bdir, "go"), "w").close()
         t0 = time.perf_counter()
+        while (
+            len([f for f in os.listdir(bdir) if f.startswith("done")])
+            < len(procs)
+        ):
+            time.sleep(0.05)
+            if any(p.poll() is not None and p.poll() != 0 for p in procs):
+                raise RuntimeError("bench worker died mid-measurement")
+        wall = time.perf_counter() - t0
         results = []
         for p in procs:
             stdout, _ = p.communicate()
             results.append(json.loads(stdout.strip().splitlines()[-1]))
-        wall = time.perf_counter() - t0
         return wall, results
 
     # WEAK scaling — the cluster-sizing definition: 4× the executors
     # process 4× the data in (ideally) the same wall time. Each
     # executor gets a full-size disjoint shard, so per-run fixed
-    # overhead amortizes identically in both phases.
-    # N = 1 executor (8 dedicated cores), one shard
-    wall_1, r1 = run_phase([(shard_files(42), "0-7")])
-    # 4N = 4 executors on disjoint 8-core sets, 4 disjoint shards
+    # overhead amortizes identically in both phases. Each phase runs
+    # twice and keeps the better window (symmetric treatment): this VM
+    # shows bursty host steal that would otherwise dominate the ratio.
     core_sets = ["0-7", "8-15", "16-23", "24-31"]
-    wall_4, r4 = run_phase(
+
+    def best_of(n, specs):
+        walls_results = [run_phase(specs) for _ in range(n)]
+        return min(walls_results, key=lambda wr: wr[0])
+
+    wall_1, r1 = best_of(2, [(shard_files(42), "0-7")])
+    wall_4, r4 = best_of(
+        2,
         [(shard_files(42 + i), cores)
-         for i, cores in enumerate(core_sets)]
+         for i, cores in enumerate(core_sets)],
     )
     docs_1 = sum(r["n_docs"] * r["n_runs"] for r in r1)
     docs_4 = sum(r["n_docs"] * r["n_runs"] for r in r4)
@@ -296,6 +310,10 @@ def run_worker(file_csv: str, barrier_dir: str | None = None) -> dict:
         job()
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)
+    if barrier_dir:
+        open(
+            os.path.join(barrier_dir, f"done_{os.getpid()}"), "w"
+        ).close()
     spark.stop()
     return {
         "metric": "worker_wall",

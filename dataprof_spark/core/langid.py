@@ -40,19 +40,35 @@ def _build_profiles() -> dict[str, tuple[frozenset, frozenset]]:
 
 
 _PROFILES = _build_profiles()
+_LANGS = tuple(_PROFILES)
+
+
+def _token_scores(tok: str) -> tuple[float, ...]:
+    tok_tris = _trigrams(tok)
+    denom = max(len(tok_tris), 1)
+    return tuple(
+        (2.0 if tok in words else 0.0) + len(tok_tris & tris) / denom
+        for words, tris in (_PROFILES[l] for l in _LANGS)
+    )
+
+
+# Memoized per-token scoring: natural-language token frequency is
+# Zipfian, so the cache hit rate is high on real corpora; results are
+# identical with or without the cache (pure function).
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+_token_scores = _lru_cache(maxsize=1 << 16)(_token_scores)
 
 
 def score(text: str) -> dict[str, float]:
     """Per-language scores for one document."""
     tokens = _TOKEN_RE.findall(text.lower())
-    scores = {lang: 0.0 for lang in _PROFILES}
+    totals = [0.0] * len(_LANGS)
     for tok in tokens:
-        tok_tris = _trigrams(tok)
-        for lang, (words, tris) in _PROFILES.items():
-            if tok in words:
-                scores[lang] += 2.0
-            scores[lang] += len(tok_tris & tris) / max(len(tok_tris), 1)
-    return scores
+        ts = _token_scores(tok)
+        for i in range(len(_LANGS)):
+            totals[i] += ts[i]
+    return dict(zip(_LANGS, totals))
 
 
 def predict(text: str) -> tuple[str, float]:
