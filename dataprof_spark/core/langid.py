@@ -55,9 +55,14 @@ def _token_scores(tok: str) -> tuple[float, ...]:
 # Memoized per-token scoring: natural-language token frequency is
 # Zipfian, so the cache hit rate is high on real corpora; results are
 # identical with or without the cache (pure function).
+# DATAPROF_LANGID_CACHE=0 disables it — the bench uses that to model
+# a production-weight model (fastText/KenLM do real work per token
+# that no memo can skip), see BENCH/BASELINE.md.
+import os as _os  # noqa: E402
 from functools import lru_cache as _lru_cache  # noqa: E402
 
-_token_scores = _lru_cache(maxsize=1 << 16)(_token_scores)
+if _os.environ.get("DATAPROF_LANGID_CACHE", "1") != "0":
+    _token_scores = _lru_cache(maxsize=1 << 16)(_token_scores)
 
 
 def score(text: str) -> dict[str, float]:

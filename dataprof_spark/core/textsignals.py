@@ -29,9 +29,7 @@ WORD_RE = re.compile(r"[A-Za-z]+")
 NON_LETTER_RE = re.compile(r"[^A-Za-z]")
 SYMBOL_RE = re.compile(r"[^A-Za-z0-9\s]")
 ELLIPSIS_RE = re.compile(r"\.\.\.")
-STOPWORD_RE = re.compile(
-    r"\b(?:" + "|".join(config.STOPWORDS_EN) + r")\b"
-)
+STOPWORD_SET = frozenset(config.STOPWORDS_EN)
 # Mojibake: U+FFFD replacement char or classic UTF-8-as-Latin-1
 # digraphs (the reference's 7-digraph table, consistency.rs:187-210).
 MOJIBAKE_DIGRAPHS = ("�", "Ã¡", "Ã©", "Ã­", "Ã³", "Ãº", "Ã±", "Ã¨")
@@ -70,8 +68,13 @@ def ellipsis_count(text: str) -> int:
 
 
 def stopword_count(text: str) -> int:
-    """English stopword hits (word-boundary, lowercased input)."""
-    return len(STOPWORD_RE.findall(text.lower()))
+    """English stopword hits: alphabetic tokens ([A-Za-z]+ of the
+    lowercased text) that are in the stopword set. Token-extraction
+    (not `\\b`-regex) so the identical definition runs fast in Spark
+    (array filter) and DuckDB (list_filter) with zero dialect risk."""
+    return sum(
+        1 for w in WORD_RE.findall(text.lower()) if w in STOPWORD_SET
+    )
 
 
 def stopword_ratio(text: str) -> float:
