@@ -262,6 +262,46 @@ SELECT o_orderpriority, cnt, rank FROM (
 """
 
 
+def window_supplier_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window coverage: per-supplier running revenue, lag,
+    and rank over ship dates (frame-spec'd running sum + lag + rank
+    — beyond the reference's single ROW_NUMBER, SURVEY §2.5)."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        R6(
+            F.sum(rev).over(w.rowsBetween(W.unboundedPreceding, 0))
+        ).alias("running_revenue"),
+        R6(F.lag(rev, 1).over(w)).alias("prev_revenue"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+WINDOW_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       round(sum(l_extendedprice * (1 - l_discount)) OVER w_run, 6)
+         AS running_revenue,
+       round(lag(l_extendedprice * (1 - l_discount), 1) OVER w, 6)
+         AS prev_revenue,
+       (row_number() OVER w)::BIGINT AS rn
+FROM lineitem
+WHERE l_suppkey <= 5
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber),
+       w_run AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def outlier_iqr_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IQR/Tukey outlier count (reference A9, k=1.5) on l_quantity.
     Exact `percentile` (Type-7 interpolation, matching the reference's
@@ -1053,6 +1093,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         **queries_dedup.registry(),
         "topk_order_priorities": (topk_order_priorities, TOPK_SQL),
         "outlier_iqr_quantity": (outlier_iqr_quantity, OUTLIER_SQL),
+        "window_supplier_running": (window_supplier_running, WINDOW_SQL),
         "events_hourly": (events_hourly, EVENTS_SQL),
         "doc_textstats": (doc_textstats, _doc_textstats_sql()),
         "doc_gates": (doc_gates, _doc_gates_sql()),
