@@ -184,6 +184,46 @@ def simhash_md5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets
+    (operators/similarity.py). The DuckDB oracle reproduces the SAME
+    deterministic hyperplanes (seeded NumPy constants inlined as SQL
+    literals) and the same bucket-join-then-threshold plan — the LSH
+    candidate set itself is oracle-verified, not just the cosines."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.5, n_planes=6
+    ).orderBy("id_a", "id_b")
+
+
+def _ddb_embedding_near_dup_sql(threshold: float = 0.5,
+                                n_planes: int = 6, dim: int = 64) -> str:
+    planes = similarity.hyperplanes(dim, n_planes)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+         ({bucket_terms})::BIGINT AS bucket
+  FROM embeddings
+)
+SELECT a.id AS id_a, bb.id AS id_b,
+       round(CASE WHEN sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(bb.vec, bb.vec)) > 0
+         THEN list_dot_product(a.vec, bb.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec))
+                 * sqrt(list_dot_product(bb.vec, bb.vec)))
+         ELSE 0.0 END, 6) AS cos_sim
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+WHERE cos_sim >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return sampling.systematic(docs, 7, "doc_id").select("doc_id", "lang")
@@ -214,6 +254,9 @@ def registry():
         "minhash_per_doc": (minhash_per_doc, _ddb_minhash_sql()),
         "near_dup_pairs": (near_dup_pairs, _ddb_near_dup_sql()),
         "ann_topk": (ann_topk, ANN_SQL),
+        "embedding_near_dups": (
+            embedding_near_dups, _ddb_embedding_near_dup_sql(),
+        ),
         "simhash_fingerprints": (simhash_fingerprints, None),
         "simhash_md5_fingerprints": (
             simhash_md5_fingerprints, dedup.duckdb_simhash_sql(),
