@@ -124,7 +124,8 @@ PATTERN_DEFS: tuple[PatternDef, ...] = (
                "other", 55, None, 5.0),
 )
 
-_COMPILED = tuple(re.compile(d.regex) for d in PATTERN_DEFS)
+# re.ASCII: same \\d/\\b semantics as the Java-regex twin in Spark
+_COMPILED = tuple(re.compile(d.regex, re.ASCII) for d in PATTERN_DEFS)
 
 
 def confidence(spec: int, match_pct: float, pass_rate: float) -> float:

@@ -30,11 +30,14 @@ BLOCKLIST_PAT = r"\b(?:" + "|".join(config.BLOCKLIST_TERMS) + r")\b"
 
 SCRUB_ORDER = ("email", "phone", "ip", "blocklist")
 
+# re.ASCII: \d and \b must mean ASCII digits/word-boundaries, exactly
+# as Java regex (Spark) and RE2 (DuckDB) define them — Unicode digits
+# must not match the phone/ip patterns only in Python (ADVICE r1).
 _COMPILED = {
-    "email": re.compile(EMAIL_PAT),
-    "phone": re.compile(PHONE_PAT),
-    "ip": re.compile(IPV4_PAT),
-    "blocklist": re.compile(BLOCKLIST_PAT, re.IGNORECASE),
+    "email": re.compile(EMAIL_PAT, re.ASCII),
+    "phone": re.compile(PHONE_PAT, re.ASCII),
+    "ip": re.compile(IPV4_PAT, re.ASCII),
+    "blocklist": re.compile(BLOCKLIST_PAT, re.IGNORECASE | re.ASCII),
 }
 
 

@@ -27,7 +27,12 @@ from dataprof_spark import config
 # --- compiled once per process (module level → once per executor) ----
 WORD_RE = re.compile(r"[A-Za-z]+")
 NON_LETTER_RE = re.compile(r"[^A-Za-z]")
-SYMBOL_RE = re.compile(r"[^A-Za-z0-9\s]")
+# re.ASCII: \s must mean the ASCII whitespace set in all three engines
+# (Java regex / Spark translate-delete, RE2/DuckDB, Python). Without it
+# Python treats NBSP/NEL as whitespace while Spark counts them as
+# symbols — keep/drop divergence near the 0.10 symbol_ratio threshold
+# on real web text (ADVICE r1).
+SYMBOL_RE = re.compile(r"[^A-Za-z0-9\s]", re.ASCII)
 ELLIPSIS_RE = re.compile(r"\.\.\.")
 STOPWORD_SET = frozenset(config.STOPWORDS_EN)
 # Mojibake: U+FFFD replacement char or classic UTF-8-as-Latin-1

@@ -157,6 +157,7 @@ def decide(
     url_col: str = "url",
     ts_col: str | None = "warc_ts",
     now_year: int = 2026,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Full decisions DataFrame (FIXTURES.md A2 schema).
 
@@ -199,6 +200,7 @@ def decide(
         }
     )
     return out.select(
+        *keep_cols,
         F.col(url_col).alias("url"),
         F.col("drop_reason").isNull().alias("keep"),
         "drop_reason",
@@ -249,13 +251,22 @@ def quality_score_col(
         w["completeness"] + w["consistency"] + w["uniqueness"]
         + w["accuracy"] + w["validity"]
     )
+    num, den = num, F.lit(den)
     if ts_col is not None:
-        year = F.year(F.col(ts_col))
+        ts = F.col(ts_col)
+        year = F.year(ts)
         timeliness = (
             F.when(year > now_year, 0.0)
             .when(year < now_year - config.STALE_YEARS, 0.5)
             .otherwise(1.0)
         )
-        num = num + timeliness * w["timeliness"]
-        den = den + w["timeliness"]
-    return num / F.lit(den)
+        # NULL timestamp = dimension unassessed: excluded from BOTH
+        # numerator and denominator (renormalized), matching the
+        # labeler's warc_ts-is-None path — vacuous dimensions are
+        # never counted as perfect (quality.rs:395-411 discipline).
+        w_t = F.when(ts.isNull(), F.lit(0.0)).otherwise(
+            F.lit(float(w["timeliness"]))
+        )
+        num = num + F.coalesce(timeliness, F.lit(1.0)) * w_t
+        den = den + w_t
+    return num / den

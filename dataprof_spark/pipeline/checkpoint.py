@@ -8,15 +8,23 @@ partitions and produce byte-identical final tables.
 
 Mechanism (Iceberg-shaped, parquet-backed in this sandbox):
 - the input is bucketed by a deterministic partition key;
-- each partition is processed as its own job and written to
-  ``out_dir/decisions/part_key=<k>/`` (the parquet twin of Iceberg's
-  overwrite-by-partition);
+- ALL pending partitions are processed in ONE Spark job:
+  ``write.partitionBy("part_key")`` with dynamic partition overwrite
+  (the parquet twin of Iceberg's overwrite-by-partition) — the input
+  is scanned exactly once per resume attempt, never once per bucket;
+- per-partition manifest counters (docs in/out, drop-reason histogram,
+  scrub counts) come from a constant number of column-pruned,
+  partition-pruned aggregations over the freshly WRITTEN output — not
+  from re-scanning the input;
 - a manifest row (JSON file per partition — the sandbox twin of an
-  Iceberg snapshot/metrics table) records docs_in/out, drop-reason
-  histogram, scrub counts, bytes, wall_ms, status;
+  Iceberg snapshot/metrics table) records the counters plus the
+  n_buckets the run was hashed with; resume fails fast if re-invoked
+  with a different bucket count (silently mixing hash spaces would
+  duplicate/lose documents);
 - resume() lists partitions with no ``done`` manifest and reprocesses
   only those. Safe because decisions are pure per-document functions
-  (core/gates.py) — a retried partition rewrites identical bytes.
+  (core/gates.py) and rows are sorted within partitions — a retried
+  partition rewrites identical bytes.
 """
 
 from __future__ import annotations
@@ -32,6 +40,10 @@ from pyspark.sql import functions as F
 from dataprof_spark.operators import gates
 
 N_BUCKETS_DEFAULT = 8
+
+
+class BucketCountMismatch(ValueError):
+    """Resume attempted with a different n_buckets than the manifests."""
 
 
 def with_part_key(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT,
@@ -56,82 +68,47 @@ def _manifest_path(out_dir: str, part_key: int) -> str:
     return os.path.join(_manifest_dir(out_dir), f"part_{part_key}.json")
 
 
-def done_partitions(out_dir: str) -> set[int]:
+def _read_manifests(out_dir: str) -> list[dict]:
     mdir = _manifest_dir(out_dir)
     if not os.path.isdir(mdir):
-        return set()
+        return []
+    rows = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                rows.append(json.load(f))
+    return rows
+
+
+def done_partitions(out_dir: str, n_buckets: int | None = None) -> set[int]:
+    """Partition ids with a `done` manifest.
+
+    When ``n_buckets`` is given, fail fast if any existing manifest was
+    written under a different bucket count — partitions "done" under a
+    different hash space are NOT done under this one.
+    """
     done = set()
-    for name in os.listdir(mdir):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(mdir, name)) as f:
-            row = json.load(f)
+    for row in _read_manifests(out_dir):
+        prev = row.get("n_buckets")
+        if n_buckets is not None and prev is not None and prev != n_buckets:
+            raise BucketCountMismatch(
+                f"manifests in {out_dir} were written with n_buckets={prev}, "
+                f"but this run requested n_buckets={n_buckets}; resuming "
+                "across hash spaces would duplicate/lose documents. Use the "
+                "original bucket count or a fresh output dir."
+            )
         if row.get("status") == "done":
             done.add(int(row["partition_id"]))
     return done
 
 
-def _process_partition(
-    pages: DataFrame,
-    out_dir: str,
-    run_id: str,
-    part_key: int,
-    ts_col: str | None,
-) -> dict:
-    t0 = time.perf_counter()
-    part = pages.filter(F.col("part_key") == part_key).drop("part_key")
-    decisions = gates.decide(part, ts_col=ts_col)
-    # deterministic file content: stable sort before write
-    decisions = decisions.orderBy("url")
-    dest = os.path.join(out_dir, "decisions", f"part_key={part_key}")
-    decisions.write.mode("overwrite").parquet(dest)
-    # counters from the written partition (one extra small scan)
-    spark = pages.sparkSession
-    written = spark.read.parquet(dest)
-    agg = written.agg(
-        F.count(F.lit(1)).alias("docs_in"),
-        F.sum(F.col("keep").cast("long")).alias("docs_out"),
-    ).collect()[0]
-    hist = {
-        r["drop_reason"]: r["n"]
-        for r in written.filter(~F.col("keep"))
-        .groupBy("drop_reason")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    scrub_totals = {
-        k: v
-        for k, v in written.select(
-            F.explode("scrub_counts").alias("k", "v")
-        )
-        .groupBy("k")
-        .agg(F.sum("v").alias("n"))
-        .rdd.map(lambda r: (r["k"], r["n"]))
-        .collect()
-    }
-    bytes_in = sum(
-        os.path.getsize(os.path.join(dest, f))
-        for f in os.listdir(dest)
-        if f.endswith(".parquet")
-    )
-    row = {
-        "run_id": run_id,
-        "partition_id": part_key,
-        "input_snapshot_id": 0,
-        "docs_in": agg["docs_in"],
-        "docs_out": agg["docs_out"],
-        "drop_reason_counts": hist,
-        "scrub_counts": scrub_totals,
-        "bytes_in": bytes_in,
-        "wall_ms": int((time.perf_counter() - t0) * 1000),
-        "status": "done",
-    }
+def _write_manifest(out_dir: str, row: dict) -> None:
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
-    tmp = _manifest_path(out_dir, part_key) + ".tmp"
+    path = _manifest_path(out_dir, row["partition_id"])
+    tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(row, f)
-    os.replace(tmp, _manifest_path(out_dir, part_key))  # atomic commit
-    return row
+    os.replace(tmp, path)  # atomic commit
 
 
 def run(
@@ -142,22 +119,109 @@ def run(
     ts_col: str | None = "warc_ts",
     max_partitions: int | None = None,
 ) -> list[dict]:
-    """Process all not-yet-done partitions; returns manifest rows.
+    """Process all not-yet-done partitions in ONE write job; returns
+    the new manifest rows.
 
-    ``max_partitions`` processes only the first K pending partitions —
-    used by tests to simulate a killed run mid-way.
+    The input is scanned exactly once regardless of how many
+    partitions are pending (VERDICT r1 #1 — the old per-bucket loop
+    amplified a 100 TB scan 64×). ``max_partitions`` processes only
+    the first K pending partitions — used by tests to simulate a
+    killed run mid-way; it narrows the single job's filter, it does
+    not add jobs.
     """
+    t0 = time.perf_counter()
     run_id = run_id or uuid.uuid4().hex[:12]
-    keyed = with_part_key(pages, n_buckets)
-    pending = [
-        k for k in range(n_buckets) if k not in done_partitions(out_dir)
-    ]
+    done = done_partitions(out_dir, n_buckets=n_buckets)
+    pending = [k for k in range(n_buckets) if k not in done]
     if max_partitions is not None:
         pending = pending[:max_partitions]
-    return [
-        _process_partition(keyed, out_dir, run_id, k, ts_col)
-        for k in pending
-    ]
+    if not pending:
+        return []
+
+    keyed = with_part_key(pages, n_buckets)
+    if done or max_partitions is not None:
+        keyed = keyed.filter(F.col("part_key").isin(pending))
+    decisions = gates.decide(keyed, ts_col=ts_col, keep_cols=("part_key",))
+
+    # ONE write job: hash-repartition on part_key so each bucket is a
+    # single task → a single deterministic file per partition dir;
+    # sortWithinPartitions gives byte-identical content on retry.
+    # Dynamic partition overwrite = Iceberg overwrite-by-partition:
+    # only the pending part_key dirs are replaced, done ones untouched.
+    dest = os.path.join(out_dir, "decisions")
+    (
+        decisions.repartition(len(pending), "part_key")
+        .sortWithinPartitions("part_key", "url")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_key")
+        .parquet(dest)
+    )
+
+    # Manifest counters: a CONSTANT number of small aggregations over
+    # the freshly written output (partition-pruned to pending buckets,
+    # column-pruned to the counter columns) — never a re-scan of the
+    # input, never a per-bucket job loop.
+    spark = pages.sparkSession
+    written = spark.read.parquet(dest).filter(
+        F.col("part_key").isin(pending)
+    )
+    base = {
+        int(r["part_key"]): {"docs_in": r["docs_in"], "docs_out": r["docs_out"]}
+        for r in written.groupBy("part_key").agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(F.col("keep").cast("long")).alias("docs_out"),
+        ).collect()
+    }
+    hists: dict[int, dict[str, int]] = {k: {} for k in base}
+    for r in (
+        written.filter(~F.col("keep"))
+        .groupBy("part_key", "drop_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        hists[int(r["part_key"])][r["drop_reason"]] = r["n"]
+    scrubs: dict[int, dict[str, int]] = {k: {} for k in base}
+    for r in (
+        written.select("part_key", F.explode("scrub_counts").alias("k", "v"))
+        .groupBy("part_key", "k")
+        .agg(F.sum("v").alias("n"))
+        .collect()
+    ):
+        scrubs[int(r["part_key"])][r["k"]] = r["n"]
+
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+    rows = []
+    for k in pending:
+        pdir = os.path.join(dest, f"part_key={k}")
+        bytes_in = (
+            sum(
+                os.path.getsize(os.path.join(pdir, f))
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(pdir)
+            else 0
+        )
+        counters = base.get(k, {"docs_in": 0, "docs_out": 0})
+        row = {
+            "run_id": run_id,
+            "partition_id": k,
+            "n_buckets": n_buckets,
+            "input_snapshot_id": 0,
+            "docs_in": counters["docs_in"],
+            "docs_out": counters["docs_out"],
+            "drop_reason_counts": hists.get(k, {}),
+            "scrub_counts": scrubs.get(k, {}),
+            "bytes_in": bytes_in,
+            # run-level wall clock recorded on every row (the single
+            # job processes all pending partitions together)
+            "wall_ms": max(wall_ms, 1),
+            "status": "done",
+        }
+        _write_manifest(out_dir, row)
+        rows.append(row)
+    return rows
 
 
 def read_decisions(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -166,10 +230,5 @@ def read_decisions(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """The run_metrics lineage table (FIXTURES.md A3) from manifests."""
-    mdir = _manifest_dir(out_dir)
-    rows = []
-    for name in sorted(os.listdir(mdir)):
-        if name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                rows.append(f.read())
+    rows = [json.dumps(r) for r in _read_manifests(out_dir)]
     return spark.read.json(spark.sparkContext.parallelize(rows))

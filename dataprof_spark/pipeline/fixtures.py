@@ -200,6 +200,8 @@ def generate_pages(
             ts = base_ts + dt.timedelta(days=365 + i % 30)   # future
         elif r < 0.08:
             ts = base_ts - dt.timedelta(days=6 * 365 + i % 200)  # stale
+        elif r < 0.13:
+            ts = None  # missing crawl timestamp: timeliness unassessed
         else:
             ts = base_ts + dt.timedelta(hours=i % (24 * 28))
         rows.append(
@@ -224,7 +226,7 @@ def pages_df(spark, rows: list[dict] | None = None, n: int = 1000):
     schema = T.StructType(
         [
             T.StructField("url", T.StringType(), False),
-            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
             T.StructField("html", T.BinaryType(), False),
             T.StructField("text", T.StringType(), False),
             T.StructField("lang", T.StringType(), False),

@@ -30,6 +30,7 @@ def _sessionize_group(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    gap_seconds: int = GAP_SECONDS,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
@@ -61,7 +62,7 @@ def _sessionize_group(
         start, last, n, total = None, None, 0, 0.0
     for _, e in events.iterrows():
         ts = int(e["ts"].timestamp())
-        if last is not None and ts - last > GAP_SECONDS:
+        if last is not None and ts - last > gap_seconds:
             rows.append(
                 {
                     "user_id": user_id,
@@ -82,17 +83,24 @@ def _sessionize_group(
         n += 1
         total += float(e["value"])
     state.update((start, last, n, total))
-    state.setTimeoutDuration(GAP_SECONDS * 1000)
+    state.setTimeoutDuration(gap_seconds * 1000)
     yield pd.DataFrame(rows)
 
 
 def sessionize(stream: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
-    """Stateful sessionization over a streaming events DataFrame."""
+    """Stateful sessionization over a streaming events DataFrame.
+
+    ``gap_seconds`` is threaded into the group kernel (both the gap
+    comparison and the state timeout) via functools.partial — callers
+    requesting a custom gap get it, not the 30-min default (ADVICE r1).
+    """
+    import functools
+
     return (
         stream.select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_group,
+            functools.partial(_sessionize_group, gap_seconds=gap_seconds),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

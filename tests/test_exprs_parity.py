@@ -60,6 +60,32 @@ def test_ratio_parity(sdf, expr_fn, py_fn):
         ), r["_class"]
 
 
+def test_symbol_count_nonascii_whitespace_parity(spark):
+    """ADVICE r1: NBSP/NEL and other non-ASCII whitespace (common in
+    real web text) must count as SYMBOLS in all three engines — the
+    Python twin compiles with re.ASCII so \\s means the same ASCII set
+    as Spark's translate-delete and Java/RE2 regex."""
+    texts = [
+        "plain ascii text",
+        "nbsp here and there",       # U+00A0 no-break space
+        "nelline",                        # U+0085 next line
+        "ideographic　space",               # U+3000
+        "thin space mixed with tab\t",
+        "vtab\x0b and formfeed\x0c stay whitespace",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {
+        r["text"]: r["v"]
+        for r in sdf.select(
+            "text", exprs.symbol_count(F.col("text")).alias("v")
+        ).collect()
+    }
+    for t in texts:
+        assert got[t] == ts.symbol_count(t), repr(t)
+    # NBSP is a symbol, not whitespace, in both engines
+    assert ts.symbol_count("a b") == 1
+
+
 def test_heuristic_reason_parity(sdf):
     from dataprof_spark.core import gates as pygates
     from dataprof_spark.operators import gates as sgates
