@@ -110,6 +110,16 @@ def mojibake_count(c: Column) -> Column:
     return F.regexp_count(c, F.lit(MOJIBAKE_PAT)).cast("long")
 
 
+def decimal_scale(c: Column, max_scale: int = 6) -> Column:
+    """Effective decimal scale: smallest s in 0..max_scale with
+    round(x, s) == x (reference A24 precision.rs:21-88, round-trip
+    formulation — same arithmetic in every engine)."""
+    expr = F.lit(max_scale)
+    for s in range(max_scale - 1, -1, -1):
+        expr = F.when(F.round(c, s) == c, F.lit(s)).otherwise(expr)
+    return expr.cast("long")
+
+
 def email_count(c: Column) -> Column:
     return F.regexp_count(c, F.lit(EMAIL_PAT)).cast("long")
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataprof_spark import config
-from dataprof_spark.functions import exprs
+from dataprof_spark.functions import dates, exprs
 from dataprof_spark.operators.profiler import (
     _is_key_named,
     _is_numeric,
@@ -61,8 +61,23 @@ class QualityReport:
 
 
 def assess(df: DataFrame, key_col: str | None = None,
-           now: _dt.datetime | None = None) -> QualityReport:
-    """Compute all assessable dimensions in two scans."""
+           now: _dt.datetime | None = None,
+           with_validity: bool = False,
+           use_approx_percentiles: bool = False) -> QualityReport:
+    """Compute ALL assessable dimensions (the reference's full
+    7-dimension contract, quality.rs:135-161 + 340-411): completeness,
+    consistency (type conformance + mixed date formats + mixed decimal
+    separators + encoding issues — consistency.rs:26-210), uniqueness,
+    accuracy, validity (dominant semantic pattern share,
+    validity.rs:20-71, opt-in: needs a per-column sample scan),
+    timeliness, precision (modal decimal scale, precision.rs:21-88).
+
+    Scans: one wide agg + one fence agg + one melt agg for precision —
+    constant in column count. ``use_approx_percentiles=True`` switches
+    the IQR fences to approx_percentile (needed at 10^11 rows; exact
+    percentile buffers per group) and records confidence="approx" —
+    the reference's own exact-vs-approx provenance contract.
+    """
     now = now or _dt.datetime(2026, 1, 1)
     fields_ = df.schema.fields
     str_cols = [f.name for f in fields_ if isinstance(f.dataType, T.StringType)]
@@ -95,12 +110,42 @@ def assess(df: DataFrame, key_col: str | None = None,
         aggs.append(
             F.sum(F.col(key_col).isNotNull().cast("long")).alias("__key_nn")
         )
-    # consistency: mojibake values across string columns (A20)
+    # consistency sub-metrics across string columns (A20,
+    # consistency.rs:26-210): encoding issues (mojibake values),
+    # type conformance for date-named columns, mixed date formats,
+    # mixed decimal separators. The reference samples 50 values for
+    # the mixed-format check; Spark computes it exact over the full
+    # column in the same single pass — a strictly stronger answer.
     for n in str_cols:
-        aggs.append(
-            F.sum(F.col(n).rlike(MOJIBAKE_PAT).cast("long")).alias(
-                f"{n}__moji"
+        c = F.col(n)
+        nn = ~exprs.nulllike(c)
+        tv = F.trim(c)
+        aggs.append(F.sum(c.rlike(MOJIBAKE_PAT).cast("long")).alias(f"{n}__moji"))
+        aggs.append(F.sum(nn.cast("long")).alias(f"{n}__str_nn"))
+        if dates.is_likely_date_column(n):
+            aggs.append(
+                F.sum((nn & ~dates.is_valid_date_shape(tv)).cast("long"))
+                .alias(f"{n}__nonconform")
             )
+            for cls_name, pat in dates.DATE_FORMAT_CLASSES:
+                aggs.append(
+                    F.sum((nn & (dates.date_format_class(tv) == cls_name))
+                          .cast("long")).alias(f"{n}__fmt_{cls_name}")
+                )
+        # decimal-separator usage (count_other_format_violations)
+        has_dot, has_com = tv.contains("."), tv.contains(",")
+        one_dot = F.length(tv) - F.length(F.replace(tv, F.lit("."), F.lit(""))) == 1
+        one_com = F.length(tv) - F.length(F.replace(tv, F.lit(","), F.lit(""))) == 1
+        aggs.append(
+            F.sum((nn & has_dot & has_com).cast("long")).alias(f"{n}__sep_mixed")
+        )
+        aggs.append(
+            F.sum((nn & has_dot & ~has_com & one_dot).cast("long"))
+            .alias(f"{n}__sep_dot")
+        )
+        aggs.append(
+            F.sum((nn & ~has_dot & has_com & one_com).cast("long"))
+            .alias(f"{n}__sep_com")
         )
     # accuracy: domain rules + negatives in positive-named cols (A21)
     for n in num_cols:
@@ -117,12 +162,21 @@ def assess(df: DataFrame, key_col: str | None = None,
             aggs.append(
                 F.sum((c < 0).cast("long")).alias(f"{n}__neg")
             )
-        # quartiles for IQR outliers (exact percentile, Type-7)
-        aggs.append(
-            F.expr(f"percentile({n}, array(0.25, 0.75))").alias(
-                f"{n}__quarts"
+        # quartiles for IQR outliers: exact percentile (Type-7) by
+        # default; approx_percentile at scale (exact buffers all
+        # values per group — unusable at 10^11 rows)
+        if use_approx_percentiles:
+            aggs.append(
+                F.expr(
+                    f"approx_percentile({n}, array(0.25, 0.75), 10000)"
+                ).alias(f"{n}__quarts")
             )
-        )
+        else:
+            aggs.append(
+                F.expr(f"percentile({n}, array(0.25, 0.75))").alias(
+                    f"{n}__quarts"
+                )
+            )
         aggs.append(F.count(c).alias(f"{n}__n"))
     # timeliness (A22)
     for n in ts_cols:
@@ -170,12 +224,44 @@ def assess(df: DataFrame, key_col: str | None = None,
     report.dimensions["uniqueness"] = uni
     report.details["uniqueness"] = det
 
-    # ---- consistency
-    if str_cols:
+    # ---- consistency (consistency.rs score contract,
+    # quality.rs:246-253: type conformance − violation ratio)
+    values_checked = n_cells - total_nulls
+    if values_checked > 0:
         moji_total = sum(row[f"{n}__moji"] for n in str_cols)
-        str_cells = total * len(str_cols)
-        report.dimensions["consistency"] = 1.0 - moji_total / str_cells
-        report.details["consistency"] = {"mojibake_values": moji_total}
+        nonconform = sum(
+            row.get(f"{n}__nonconform", 0) or 0 for n in str_cols
+        )
+        fmt_viol = 0
+        for n in str_cols:
+            if not dates.is_likely_date_column(n):
+                continue
+            counts = [
+                row.get(f"{n}__fmt_{cls}", 0) or 0
+                for cls, _ in dates.DATE_FORMAT_CLASSES
+            ]
+            present = [v for v in counts if v > 0]
+            if len(present) > 1:
+                fmt_viol += sum(present) - max(present)
+        sep_viol = 0
+        for n in str_cols:
+            sep_viol += row.get(f"{n}__sep_mixed", 0) or 0
+            dot = row.get(f"{n}__sep_dot", 0) or 0
+            com = row.get(f"{n}__sep_com", 0) or 0
+            if dot > 0 and com > 0:
+                sep_viol += min(dot, com)
+        conformance = 1.0 - nonconform / values_checked
+        violations = fmt_viol + sep_viol
+        score = conformance - (violations + moji_total) / values_checked
+        report.dimensions["consistency"] = min(1.0, max(0.0, score))
+        report.details["consistency"] = {
+            "data_type_consistency": conformance,
+            "format_violations": violations,
+            "mixed_date_format_violations": fmt_viol,
+            "decimal_separator_violations": sep_viol,
+            "encoding_issues": moji_total,
+            "values_checked": values_checked,
+        }
 
     # ---- accuracy: outlier ratio pooled + rule violations
     if num_cols:
@@ -218,6 +304,86 @@ def assess(df: DataFrame, key_col: str | None = None,
             "pooled_n": pooled_n,
             "rule_violations": viol,
         }
+
+    # ---- precision: modal effective decimal scale per float column
+    # (precision.rs:21-88). ONE melt job for ALL float columns — never
+    # a per-column job loop: explode (col, scale) pairs → one groupBy.
+    float_cols = [
+        f_.name for f_ in fields_
+        if isinstance(f_.dataType, (T.DoubleType, T.FloatType))
+    ]
+    if float_cols:
+        pairs = F.array(*[
+            F.struct(
+                F.lit(n).alias("col"),
+                F.when(
+                    F.col(n).isNotNull()
+                    & ~F.isnan(F.col(n).cast("double")),
+                    exprs.decimal_scale(F.col(n).cast("double")),
+                ).alias("scale"),
+            )
+            for n in float_cols
+        ])
+        scale_counts = (
+            df.select(F.explode(pairs).alias("p"))
+            .filter(F.col("p.scale").isNotNull())
+            .groupBy(F.col("p.col").alias("col"),
+                     F.col("p.scale").alias("scale"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per_col: dict[str, list[int]] = {}
+        for r in scale_counts:
+            per_col.setdefault(r["col"], []).append(r["n"])
+        checked = sum(sum(v) for v in per_col.values())
+        inconsistent = sum(sum(v) - max(v) for v in per_col.values())
+        if checked > 0:
+            report.dimensions["precision"] = (
+                checked - inconsistent
+            ) / checked
+            report.details["precision"] = {
+                "numeric_values_checked": checked,
+                "inconsistent_precision_values": inconsistent,
+            }
+
+    # ---- validity: dominant-semantic-pattern share (validity.rs:20-71).
+    # Opt-in: pattern detection needs a per-column sample collect; the
+    # full-column match share is then ONE combined aggregation.
+    if with_validity and str_cols:
+        from dataprof_spark.operators import patterns as _patterns
+
+        doms = {}
+        for n in str_cols:
+            dom = _patterns.dominant_pattern(df, n)
+            if dom is not None:
+                doms[n] = dom
+        if doms:
+            vaggs = []
+            for n, dom in doms.items():
+                nn = ~exprs.nulllike(F.col(n))
+                vaggs.append(F.sum(nn.cast("long")).alias(f"{n}__v_nn"))
+                vaggs.append(
+                    F.sum(
+                        (nn & F.col(n).cast("string").rlike(dom["regex"]))
+                        .cast("long")
+                    ).alias(f"{n}__v_match")
+                )
+            vrow = df.agg(*vaggs).collect()[0].asDict()
+            v_checked = sum(vrow[f"{n}__v_nn"] for n in doms)
+            v_valid = sum(
+                min(vrow[f"{n}__v_match"], vrow[f"{n}__v_nn"])
+                for n in doms
+            )
+            if v_checked > 0:
+                report.dimensions["validity"] = v_valid / v_checked
+                report.details["validity"] = {
+                    "values_checked": v_checked,
+                    "invalid_values": v_checked - v_valid,
+                    "patterns": {n: d["name"] for n, d in doms.items()},
+                }
+
+    if use_approx_percentiles:
+        report.confidence = "approx"
 
     # ---- timeliness
     if ts_cols:

@@ -955,23 +955,49 @@ def quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(d["consistency"], 6),
                 round(d["accuracy"], 6),
                 round(d["timeliness"], 6),
+                round(d["precision"], 6),
                 round(rep.overall_score, 6),
             )
         ],
         "completeness double, uniqueness double, consistency double, "
-        "accuracy double, timeliness double, overall_score double",
+        "accuracy double, timeliness double, precision double, "
+        "overall_score double",
     )
+
+
+def _sep_viol_sql(col: str) -> str:
+    """Decimal-separator sub-metric for one string column
+    (consistency.rs count_other_format_violations): values with BOTH
+    separators are violations; then the minority single-separator
+    convention counts when both conventions appear."""
+    nn = (f"{col} IS NOT NULL AND trim({col}) != '' "
+          f"AND lower(trim({col})) NOT IN ('null','nan')")
+    t = f"trim({col})"
+    one = lambda ch: (  # noqa: E731
+        f"length({t}) - length(replace({t}, '{ch}', '')) = 1"
+    )
+    return f"""
+  SELECT sum(CASE WHEN {nn} AND contains({t}, '.') AND contains({t}, ',')
+              THEN 1 ELSE 0 END) AS mixed,
+         sum(CASE WHEN {nn} AND contains({t}, '.')
+                  AND NOT contains({t}, ',') AND {one('.')}
+              THEN 1 ELSE 0 END) AS dots,
+         sum(CASE WHEN {nn} AND NOT contains({t}, '.')
+                  AND contains({t}, ',') AND {one(',')}
+              THEN 1 ELSE 0 END) AS coms
+  FROM orders"""
 
 
 def _quality_orders_sql() -> str:
     w = config.QUALITY_WEIGHTS
     k = config.OUTLIER_IQR_K
     stale = 2026 - config.STALE_YEARS
+    moji = exprs.MOJIBAKE_PAT
     # numeric cols of orders: o_orderkey, o_custkey, o_totalprice
     # string cols: o_orderstatus, o_orderpriority; ts col: o_orderdate
     den = (
         w["completeness"] + w["uniqueness"] + w["consistency"]
-        + w["accuracy"] + w["timeliness"]
+        + w["accuracy"] + w["timeliness"] + w["precision"]
     )
     return f"""
 WITH base AS (
@@ -1005,25 +1031,203 @@ WITH base AS (
         ) AS n_out,
         3 * count(*) AS pooled
   FROM orders, q
+), sep_status AS ({_sep_viol_sql('o_orderstatus')}
+), sep_prio AS ({_sep_viol_sql('o_orderpriority')}
+), moji AS (
+  SELECT sum(CASE WHEN regexp_matches(o_orderstatus, '{moji}')
+              THEN 1 ELSE 0 END
+           + CASE WHEN regexp_matches(o_orderpriority, '{moji}')
+              THEN 1 ELSE 0 END) AS n_moji
+  FROM orders
+), cons AS (
+  -- neither string column is date-named: type conformance = 1.0;
+  -- violations = decimal-separator + encoding over non-null cells
+  SELECT 1.0
+       - ((sep_status.mixed
+           + CASE WHEN sep_status.dots > 0 AND sep_status.coms > 0
+              THEN least(sep_status.dots, sep_status.coms) ELSE 0 END
+           + sep_prio.mixed
+           + CASE WHEN sep_prio.dots > 0 AND sep_prio.coms > 0
+              THEN least(sep_prio.dots, sep_prio.coms) ELSE 0 END
+           + moji.n_moji)::DOUBLE
+          / (base.total * 6 - base.total_nulls)) AS consistency
+  FROM sep_status, sep_prio, moji, base
+), prec AS (
+  SELECT (max(n)::DOUBLE / sum(n)) AS precision
+  FROM (
+    SELECT {_scale_expr_sql('o_totalprice')} AS scale, count(*) AS n
+    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+  )
 ), dims AS (
   SELECT
     1.0 - total_nulls::DOUBLE / (total * 6) AS completeness,
     least(1.0 - (total - distinct_rows)::DOUBLE / total,
           key_distinct::DOUBLE / key_nn) AS uniqueness,
-    1.0 AS consistency,
+    least(1.0, greatest(0.0, cons.consistency)) AS consistency,
     greatest(0.0, 1.0 - n_out::DOUBLE / pooled) AS accuracy,
-    greatest(0.0, 1.0 - (fut + 0.5 * stl)::DOUBLE / ts_n) AS timeliness
-  FROM base, outl
+    greatest(0.0, 1.0 - (fut + 0.5 * stl)::DOUBLE / ts_n) AS timeliness,
+    prec.precision AS precision
+  FROM base, outl, cons, prec
 )
 SELECT round(completeness, 6) AS completeness,
        round(uniqueness, 6) AS uniqueness,
        round(consistency, 6) AS consistency,
        round(accuracy, 6) AS accuracy,
        round(timeliness, 6) AS timeliness,
+       round(precision, 6) AS precision,
        round((completeness * {w['completeness']} + uniqueness * {w['uniqueness']}
             + consistency * {w['consistency']} + accuracy * {w['accuracy']}
-            + timeliness * {w['timeliness']}) / {den}, 6) AS overall_score
+            + timeliness * {w['timeliness']} + precision * {w['precision']})
+            / {den}, 6) AS overall_score
 FROM dims
+"""
+
+
+def _mixed_format_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived string columns with designed inconsistencies: three date
+    formats keyed by o_orderkey % 3 (the middle one European), and a
+    comma-decimal amount for o_orderkey % 4 == 0. Deterministic, so
+    the DuckDB oracle reproduces the derivation exactly."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate")
+    return orders.select(
+        (
+            F.when(k % 3 == 0, F.date_format(d, "yyyy-MM-dd"))
+            .when(k % 3 == 1, F.date_format(d, "dd/MM/yyyy"))
+            .otherwise(F.date_format(d, "dd-MM-yyyy"))
+        ).alias("event_date"),
+        F.when(
+            k % 4 == 0,
+            F.regexp_replace(F.col("o_totalprice").cast("string"),
+                             r"\.", ","),
+        ).otherwise(F.col("o_totalprice").cast("string"))
+        .alias("amount_str"),
+    )
+
+
+_MIXED_ORDERS_SQL = """
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+              WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+              ELSE strftime(o_orderdate, '%d-%m-%Y') END AS event_date,
+         CASE WHEN o_orderkey % 4 = 0
+              THEN replace(o_totalprice::VARCHAR, '.', ',')
+              ELSE o_totalprice::VARCHAR END AS amount_str
+  FROM orders
+"""
+
+
+def consistency_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full consistency dimension (reference consistency.rs:26-210 —
+    type conformance vs inferred/named type, mixed-date-format count,
+    mixed decimal separators, encoding issues) through quality.assess()
+    on a derived table designed to violate each sub-metric; the oracle
+    recomputes every sub-metric in SQL."""
+    from dataprof_spark.operators import quality
+
+    rep = quality.assess(_mixed_format_orders(spark, sf_dir))
+    det = rep.details["consistency"]
+    return spark.createDataFrame(
+        [
+            (
+                det["values_checked"],
+                round(det["data_type_consistency"], 6),
+                det["mixed_date_format_violations"],
+                det["decimal_separator_violations"],
+                det["encoding_issues"],
+                round(rep.dimensions["consistency"], 6),
+            )
+        ],
+        "values_checked long, type_conformance double, "
+        "date_format_violations long, separator_violations long, "
+        "encoding_issues long, consistency double",
+    )
+
+
+def _consistency_orders_sql() -> str:
+    from dataprof_spark.functions import dates
+
+    shape_any = " OR ".join(
+        f"regexp_matches(event_date, '{p}')" for p in dates.DATE_SHAPE_PATS
+    )
+    cls_counts = ", ".join(
+        f"sum(CASE WHEN regexp_matches(event_date, '{p}') THEN 1 ELSE 0 END)"
+        f" AS fmt_{i}"
+        for i, (_, p) in enumerate(dates.DATE_FORMAT_CLASSES)
+    )
+    return f"""
+WITH d AS ({_MIXED_ORDERS_SQL}),
+m AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN event_date IS NOT NULL THEN 1 ELSE 0 END)
+           + sum(CASE WHEN amount_str IS NOT NULL THEN 1 ELSE 0 END)
+           AS checked,
+         sum(CASE WHEN event_date IS NOT NULL AND NOT ({shape_any})
+              THEN 1 ELSE 0 END) AS nonconform,
+         {cls_counts},
+         sum(CASE WHEN contains(amount_str, '.') AND contains(amount_str, ',')
+              THEN 1 ELSE 0 END) AS sep_mixed,
+         sum(CASE WHEN contains(amount_str, '.') AND NOT contains(amount_str, ',')
+                  AND length(amount_str) - length(replace(amount_str, '.', '')) = 1
+              THEN 1 ELSE 0 END) AS dots,
+         sum(CASE WHEN NOT contains(amount_str, '.') AND contains(amount_str, ',')
+                  AND length(amount_str) - length(replace(amount_str, ',', '')) = 1
+              THEN 1 ELSE 0 END) AS coms
+  FROM d
+), v AS (
+  SELECT checked, nonconform,
+         (fmt_0 + fmt_1 + fmt_2 + fmt_3)
+           - greatest(fmt_0, fmt_1, fmt_2, fmt_3) AS fmt_viol,
+         sep_mixed + CASE WHEN dots > 0 AND coms > 0
+                      THEN least(dots, coms) ELSE 0 END AS sep_viol
+  FROM m
+)
+SELECT checked::BIGINT AS values_checked,
+       round(1.0 - nonconform::DOUBLE / checked, 6) AS type_conformance,
+       fmt_viol::BIGINT AS date_format_violations,
+       sep_viol::BIGINT AS separator_violations,
+       0::BIGINT AS encoding_issues,
+       round(least(1.0, greatest(0.0,
+           (1.0 - nonconform::DOUBLE / checked)
+           - (fmt_viol + sep_viol)::DOUBLE / checked)), 6) AS consistency
+FROM v
+"""
+
+
+def datetime_parse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format datetime parse chain with EU-first ambiguity
+    (reference stats/datetime.rs:73-134) + the temporal distributions
+    (year/month/day-of-week) built from the PARSED dates. The oracle
+    uses DuckDB try_strptime with the identical ordered format list,
+    so '07/04/2024'-style ambiguous strings must resolve day-first in
+    both engines for the hash to match."""
+    from dataprof_spark.functions import dates
+
+    mixed = _mixed_format_orders(spark, sf_dir)
+    parsed = mixed.select(
+        dates.parse_datetime_flexible(F.col("event_date")).alias("ts")
+    )
+    return (
+        parsed.groupBy(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            (F.dayofweek("ts") - 1).alias("dow"),  # 0 = Sunday
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "m", "dow")
+    )
+
+
+def _datetime_parse_sql() -> str:
+    from dataprof_spark.functions import dates
+
+    parse = dates.duckdb_parse_expr("event_date")
+    return f"""
+WITH d AS ({_MIXED_ORDERS_SQL}),
+p AS (SELECT {parse} AS ts FROM d)
+SELECT year(ts)::BIGINT AS y, month(ts)::BIGINT AS m,
+       strftime(ts, '%w')::BIGINT AS dow, count(*)::BIGINT AS n
+FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
@@ -1172,6 +1376,12 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "doc_token_counts": (doc_token_counts, TOKEN_SQL),
         "salted_source_agg": (salted_source_agg, SALTED_SQL),
         "quality_report_orders": (quality_report_orders, _quality_orders_sql()),
+        "consistency_report_orders": (
+            consistency_report_orders, _consistency_orders_sql(),
+        ),
+        "datetime_parse_profile": (
+            datetime_parse_profile, _datetime_parse_sql(),
+        ),
         "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
         "profile_documents": (profile_documents, PROFILE_SQL),
     }

@@ -107,8 +107,120 @@ def test_quality_detects_problems(spark):
     rep = quality.assess(df, key_col="row_id")
     assert rep.dimensions["completeness"] < 1.0
     assert rep.details["uniqueness"]["key_uniqueness"] == 0.75
-    assert rep.details["consistency"]["mojibake_values"] == 1
+    assert rep.details["consistency"]["encoding_issues"] == 1
     assert rep.details["timeliness"]["future_dates"] == 1
     assert rep.details["timeliness"]["stale_values"] == 1
     assert rep.details["accuracy"]["rule_violations"] >= 1  # negative amount
     assert rep.overall_score < 0.97
+
+
+def test_topk_mode_single_job_independent_of_columns(spark):
+    """VERDICT r1 wrong-#4: top-k/mode/temporal distributions must be
+    ONE melt job, not a groupBy per column — job count may not grow
+    with eligible column count."""
+    import itertools
+
+    seq = itertools.count()
+
+    def n_jobs(fn):
+        sc = spark.sparkContext
+        g = f"prof-count-{next(seq)}"
+        sc.setJobGroup(g, g)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(g))
+
+    narrow = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    wide = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    j_narrow = n_jobs(lambda: profiler.profile(narrow))
+    j_wide = n_jobs(lambda: profiler.profile(wide))
+    assert j_wide <= j_narrow + 1, (j_narrow, j_wide)
+
+
+def test_temporal_distributions(spark):
+    """A17: year/month/dow(/hour) distributions at the profiler level
+    (reference stats/datetime.rs:40-70)."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    p = {q.name: q for q in profiler.profile(df)}["o_orderdate"]
+    yd = p.stats["year_distribution"]
+    md = p.stats["month_distribution"]
+    dd = p.stats["dow_distribution"]
+    total = df.filter(F.col("o_orderdate").isNotNull()).count()
+    assert sum(yd.values()) == total
+    assert sum(md.values()) == total
+    assert set(md) <= set(range(1, 13))
+    assert set(dd) <= set(range(0, 7))
+    # timestamp column → hour distribution exists too
+    assert sum(p.stats["hour_distribution"].values()) == total
+    # cross-check one year against a direct count
+    y, n = next(iter(sorted(yd.items())))
+    assert df.filter(F.year("o_orderdate") == y).count() == n
+
+
+def test_quality_consistency_submetrics(spark):
+    """A20 complete: type conformance vs date-named columns, mixed
+    date formats, mixed decimal separators (consistency.rs:26-210)."""
+    rows = [
+        ("2024-01-15", "1.50"),
+        ("15/01/2024", "2.75"),
+        ("2024-02-20", "3,25"),   # comma decimal (minority)
+        ("not-a-date", "4.00"),
+        ("2024-03-10", "1.2,5"),  # both separators in one value
+    ]
+    df = spark.createDataFrame(rows, "event_date string, amount string")
+    rep = quality.assess(df)
+    det = rep.details["consistency"]
+    assert det["values_checked"] == 10
+    # 1 of 5 date-named values fails every date shape
+    assert det["data_type_consistency"] == pytest.approx(1.0 - 1 / 10)
+    # two format classes seen (3x ISO, 1x DD/MM) → 1 violation
+    assert det["mixed_date_format_violations"] == 1
+    # 1 mixed-in-value + min(dot=3, comma=1) = 2
+    assert det["decimal_separator_violations"] == 2
+    assert det["encoding_issues"] == 0
+    assert rep.dimensions["consistency"] == pytest.approx(
+        0.9 - 3 / 10
+    )
+
+
+def test_quality_precision_dimension(spark):
+    """A24 wired into assess(): modal decimal scale consistency
+    (precision.rs:21-88)."""
+    rows = [(1.25,), (2.50,), (3.75,), (4.0,), (5.125,)]
+    df = spark.createDataFrame(rows, "amount double")
+    rep = quality.assess(df)
+    # scales: 2,1,2,0,3 → modal (2) has 2 of 5 → precision 0.4
+    assert rep.dimensions["precision"] == pytest.approx(2 / 5)
+    assert rep.details["precision"]["numeric_values_checked"] == 5
+    assert rep.details["precision"]["inconsistent_precision_values"] == 3
+    # precision participates in the renormalized overall score
+    assert "precision" in rep.dimensions
+
+
+def test_quality_validity_optin(spark):
+    """Validity dimension (validity.rs:20-71): dominant-pattern share,
+    assessed only when a confident pattern exists; opt-in flag."""
+    rows = [(f"user{i}@example.com",) for i in range(20)] + [("nope",)]
+    df = spark.createDataFrame(rows, "email string")
+    rep = quality.assess(df, with_validity=True)
+    assert rep.dimensions.get("validity") == pytest.approx(20 / 21)
+    # without the flag the dimension is absent (renormalized away)
+    rep2 = quality.assess(df)
+    assert "validity" not in rep2.dimensions
+
+
+def test_quality_approx_percentiles_provenance(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact = quality.assess(df, key_col="o_orderkey")
+    approx = quality.assess(
+        df, key_col="o_orderkey", use_approx_percentiles=True
+    )
+    assert exact.confidence == "exact"
+    assert approx.confidence == "approx"
+    assert approx.dimensions["accuracy"] == pytest.approx(
+        exact.dimensions["accuracy"], abs=0.05
+    )
