@@ -202,6 +202,37 @@ def near_dup_minhash(
 
 
 # ----------------------------------------------------------- simhash
+def _simhash_from_hashes(hashes: Column, n_bits: int) -> Column:
+    """SINGLE-PASS SimHash fold (VERDICT r1 #10): the old version ran
+    one F.aggregate per bit — n_bits full traversals of the token
+    array per document, O(n_bits · tokens) array walks. Now each token
+    hash expands once into its ±1 bit vector and ONE aggregate
+    zip_with-adds them — one traversal, vectorized adds."""
+    bitvecs = F.transform(
+        hashes,
+        lambda h: F.array(*[
+            F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)).cast("long")
+            for i in range(n_bits)
+        ]),
+    )
+    counts = F.aggregate(
+        bitvecs,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        # shiftleft (not a Python 1 << i literal): bit 63 must wrap
+        # into the sign bit exactly as the legacy per-bit version did
+        out = out + F.when(
+            counts.getItem(i) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
 def simhash_md5_60(c: Column, n_bits: int = 20) -> Column:
     """Engine-portable SimHash: token hash = first 15 md5 hex chars
     (60 bits, fits signed 64 everywhere); fingerprint over the low
@@ -211,22 +242,7 @@ def simhash_md5_60(c: Column, n_bits: int = 20) -> Column:
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    out = F.lit(0).cast("long")
-    for i in range(n_bits):
-        # the lambda is evaluated eagerly by F.aggregate, so the loop
-        # variable binds immediately (no late-binding hazard)
-        s = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .cast("long"),
-        )
-        out = out + F.shiftleft(
-            F.when(s > 0, F.lit(1).cast("long")).otherwise(0), i
-        )
-    return out
+    return _simhash_from_hashes(hashes, n_bits)
 
 
 def duckdb_simhash_sql(n_bits: int = 20) -> str:
@@ -254,28 +270,13 @@ SELECT doc_id, ({bits})::BIGINT AS simhash FROM h ORDER BY doc_id
 def simhash64(c: Column) -> Column:
     """64-bit SimHash over word tokens (deterministic, native).
 
-    Implemented bit-parallel without explode: token → xxhash64 →
-    per-bit ±1 contributions summed via transform/aggregate. Stays a
-    single projection; 64 aggregate expressions fold under codegen.
+    Single-pass: token → xxhash64 → ±1 bit vector, folded by ONE
+    aggregate/zip_with (see _simhash_from_hashes). Stays one
+    projection, no explode, no shuffle.
     """
     toks = F.filter(F.split(F.lower(c), r"\s+", -1), lambda x: x != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bits = []
-    for i in range(64):
-        # sum of (bit_i(h) ? 1 : -1) over tokens
-        s = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .cast("long"),
-        )
-        bits.append(F.when(s > 0, F.lit(1).cast("long")).otherwise(0))
-    out = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        out = out + F.shiftleft(b, i)
-    return out
+    return _simhash_from_hashes(hashes, 64)
 
 
 def simhash_pairs(

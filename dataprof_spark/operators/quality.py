@@ -63,7 +63,8 @@ class QualityReport:
 def assess(df: DataFrame, key_col: str | None = None,
            now: _dt.datetime | None = None,
            with_validity: bool = False,
-           use_approx_percentiles: bool = False) -> QualityReport:
+           use_approx_percentiles: bool = False,
+           positive_columns: list[str] | None = None) -> QualityReport:
     """Compute ALL assessable dimensions (the reference's full
     7-dimension contract, quality.rs:135-161 + 340-411): completeness,
     consistency (type conformance + mixed date formats + mixed decimal
@@ -158,7 +159,10 @@ def assess(df: DataFrame, key_col: str | None = None,
                     )
                 )
                 break
-        if any(h in n.lower() for h in _POSITIVE_HINTS):
+        if (
+            any(h in n.lower() for h in _POSITIVE_HINTS)
+            or n in (positive_columns or ())
+        ):
             aggs.append(
                 F.sum((c < 0).cast("long")).alias(f"{n}__neg")
             )
@@ -219,6 +223,7 @@ def assess(df: DataFrame, key_col: str | None = None,
         det["key_uniqueness"] = (
             row["__key_distinct"] / kn if kn else None
         )
+        det["key_nulls"] = total - kn
         if kn and det["key_uniqueness"] is not None:
             uni = min(uni, det["key_uniqueness"])
     report.dimensions["uniqueness"] = uni
@@ -303,6 +308,11 @@ def assess(df: DataFrame, key_col: str | None = None,
             "outlier_count": outliers,
             "pooled_n": pooled_n,
             "rule_violations": viol,
+            "negatives_by_column": {
+                n: row[f"{n}__neg"]
+                for n in num_cols
+                if row.get(f"{n}__neg")
+            },
         }
 
     # ---- precision: modal effective decimal scale per float column

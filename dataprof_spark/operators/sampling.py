@@ -107,3 +107,71 @@ def progressive(
         if ok or size >= max_size:
             return sample, size
         size = min(size * 2, max_size)
+
+
+# ------------------------------------------------------------ multi-stage
+class InvalidSamplingCombination(ValueError):
+    """A multi-stage combination with no coherent meaning (reference
+    sampler.rs:232-266 refusal contract)."""
+
+
+_FIXED_SIZE_KINDS = frozenset({"random", "reservoir"})
+_STREAMING_KINDS = frozenset(
+    {"systematic", "importance", "hash_fraction", "stratified"}
+)
+
+
+def multi_stage(
+    df: DataFrame,
+    stages: list[tuple[str, dict]],
+    id_col: str,
+    seed: int = config.SEED,
+) -> DataFrame:
+    """Several strategies applied in order (strategies.rs MultiStage).
+
+    Streaming stages (systematic / importance / hash_fraction /
+    stratified) act as filters a row must pass in sequence. At most
+    ONE fixed-size stage (random/reservoir — both exact-n here) may
+    appear, and it must be LAST: two fixed-size stages have no
+    combined meaning, and a filter after the fixed-size stage would
+    have nothing to act on (sampler.rs:242-266). Invalid combinations
+    raise InvalidSamplingCombination instead of guessing.
+    """
+    fixed_seen = False
+    n_fixed = sum(1 for kind, _ in stages if kind in _FIXED_SIZE_KINDS)
+    if n_fixed > 1:
+        raise InvalidSamplingCombination(
+            "a multi-stage strategy may contain at most one fixed-size "
+            "stage (random or reservoir); keep a single fixed-size stage "
+            "and express the rest as streaming filters"
+        )
+    for kind, _ in stages:
+        if fixed_seen and kind not in _FIXED_SIZE_KINDS:
+            raise InvalidSamplingCombination(
+                "a fixed-size stage (random or reservoir) must be the "
+                "last stage — a filter after it would have nothing to "
+                "act on"
+            )
+        if kind in _FIXED_SIZE_KINDS:
+            fixed_seen = True
+        elif kind not in _STREAMING_KINDS:
+            raise InvalidSamplingCombination(f"unknown stage kind {kind!r}")
+
+    out = df
+    for kind, params in stages:
+        if kind == "systematic":
+            out = systematic(out, params["interval"], id_col)
+        elif kind == "importance":
+            out = importance(
+                out, params["weight_column"], params["weight_threshold"]
+            )
+        elif kind == "hash_fraction":
+            out = hash_sample(out, params["fraction"], id_col, seed)
+        elif kind == "stratified":
+            out = stratified_first_k(
+                out, params["key_columns"], params["samples_per_stratum"],
+                order_col=id_col,
+            )
+        else:  # random / reservoir — exact-n, always last
+            out = exact_n_sample(out, params["size"], id_col, seed)
+    return out

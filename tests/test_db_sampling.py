@@ -1,0 +1,145 @@
+"""DB sampling pushdown (S9): SQL generation contracts matching
+dataprof-db/src/sampling.rs:84-157, injection validation matching
+security/sql_validation.rs, and EXECUTION of the generated SQL against
+DuckDB (no JDBC endpoint in the sandbox; the reference likewise tests
+against an embedded DB)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dataprof_spark.sources import db
+
+
+# ------------------------------------------------------ validation layer
+def test_identifier_validation():
+    assert db.validate_identifier("users") == "users"
+    assert db.validate_identifier("schema.table") == "schema.table"
+    assert db.validate_identifier('"weird name"') == '"weird name"'
+    for bad in ("", "users; DROP TABLE x", "a--b", "users)", "x" * 200):
+        with pytest.raises(db.SqlValidationError):
+            db.validate_identifier(bad)
+
+
+def test_base_query_validation():
+    assert db.validate_base_query("SELECT a FROM t").startswith("SELECT")
+    for bad in (
+        "",
+        "DELETE FROM t",
+        "SELECT * FROM t; DROP TABLE t",
+        "SELECT * FROM t UNION SELECT * FROM secrets",
+        "SELECT * FROM t -- comment",
+    ):
+        with pytest.raises(db.SqlValidationError):
+            db.validate_base_query(bad)
+
+
+# --------------------------------------------------- generation contracts
+def test_passthrough_when_table_fits():
+    cfg = db.SamplingConfig(strategy="random", sample_size=100)
+    assert (
+        cfg.generate_sample_query("t", total_rows=50) == "SELECT * FROM t"
+    )
+
+
+def test_random_shape():
+    cfg = db.SamplingConfig(strategy="random", sample_size=10, seed=7)
+    q = cfg.generate_sample_query("events", 1000)
+    assert q == "SELECT * FROM events ORDER BY RANDOM(7) LIMIT 10"
+
+
+def test_systematic_shape():
+    cfg = db.SamplingConfig(strategy="systematic", sample_size=10)
+    q = cfg.generate_sample_query("events", 95)
+    assert "ROW_NUMBER() OVER () AS rn" in q
+    assert "rn % 10 = 1" in q  # ceil(95/10) = 10
+
+
+def test_tablesample_shape_and_subquery_fallback():
+    cfg = db.SamplingConfig(strategy="reservoir", sample_size=10, seed=3)
+    q = cfg.generate_sample_query("events", 1000)
+    assert "TABLESAMPLE SYSTEM (1.00)" in q and "LIMIT 10" in q
+    q2 = cfg.generate_sample_query("SELECT * FROM events WHERE a > 0", 1000)
+    assert "RANDOM(3)" in q2 and "TABLESAMPLE" not in q2
+
+
+def test_stratified_and_temporal_shapes():
+    cfg = db.SamplingConfig(
+        strategy="stratified", sample_size=100, stratify_column="grp"
+    )
+    q = cfg.generate_sample_query("t", 10_000)
+    assert "PARTITION BY grp ORDER BY RANDOM()" in q
+    assert "stratum_rn <= 10" in q
+    cfg = db.SamplingConfig(
+        strategy="temporal", sample_size=10, temporal_column="ts"
+    )
+    q = cfg.generate_sample_query("t", 100)
+    assert "ORDER BY ts" in q and "time_rn % 10 = 1" in q
+    # stratified without a column degrades to seeded random
+    cfg = db.SamplingConfig(strategy="stratified", sample_size=5, seed=1)
+    assert "RANDOM(1)" in cfg.generate_sample_query("t", 100)
+
+
+def test_injection_refused_through_config():
+    cfg = db.SamplingConfig(
+        strategy="temporal", sample_size=10,
+        temporal_column="ts; DROP TABLE t",
+    )
+    with pytest.raises(db.SqlValidationError):
+        cfg.generate_sample_query("t", 100)
+
+
+# ----------------------------------------- execution against an actual DB
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE TABLE events AS "
+        "SELECT range AS id, range % 7 AS grp, "
+        "TIMESTAMP '2024-01-01' + INTERVAL (range) HOUR AS ts "
+        "FROM range(1000)"
+    )
+    return c
+
+
+def test_systematic_executes(con):
+    cfg = db.SamplingConfig(strategy="systematic", sample_size=100)
+    q = cfg.generate_sample_query("events", 1000)
+    rows = con.execute(q).df()
+    assert len(rows) == 100
+    # every step-th row, starting at the first
+    assert sorted(rows["rn"])[:3] == [1, 11, 21]
+
+
+def test_temporal_executes(con):
+    cfg = db.SamplingConfig(
+        strategy="temporal", sample_size=50, temporal_column="ts"
+    )
+    q = cfg.generate_sample_query("events", 1000)
+    rows = con.execute(q).df().sort_values("ts")
+    assert len(rows) == 50
+    # time-ordered systematic: ids are evenly spaced in time order
+    ids = rows["id"].tolist()
+    assert ids[0] == 0 and ids[1] == 20
+
+
+def test_stratified_executes(con):
+    cfg = db.SamplingConfig(
+        strategy="stratified", sample_size=70, stratify_column="grp"
+    )
+    q = cfg.generate_sample_query("events", 1000)
+    rows = con.execute(q).df()
+    # 7 strata x 7 per stratum
+    assert len(rows) == 49
+    assert rows.groupby("grp").size().max() == 7
+
+
+def test_count_query_executes(con):
+    assert con.execute(db.count_query("events")).fetchone()[0] == 1000
+    assert (
+        con.execute(
+            db.count_query("SELECT * FROM events WHERE grp = 0")
+        ).fetchone()[0]
+        == 143
+    )

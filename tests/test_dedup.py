@@ -90,3 +90,45 @@ def test_minhash_signature_shape(docs):
     assert all(len(r["sig"]) == dedup.N_PERM_DEFAULT for r in sig)
     # empty-ish doc gets sentinel values, not nulls
     assert all(v is not None for r in sig for v in r["sig"])
+
+
+def test_simhash_single_pass_parity(spark):
+    """The single-pass zip_with fold must produce bit-identical
+    fingerprints to the legacy one-aggregate-per-bit formulation
+    (VERDICT r1 #10 'done' criterion), including sign-bit wrap at
+    bit 63."""
+    from pyspark.sql import functions as F
+
+    from dataprof_spark.operators import dedup
+
+    def legacy_simhash(c, n_bits, hash_fn):
+        toks = F.filter(F.split(F.lower(c), r"\s+", -1), lambda x: x != "")
+        hashes = F.transform(toks, hash_fn)
+        out = F.lit(0).cast("long")
+        for i in range(n_bits):
+            s = F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1).cast("long"),
+            )
+            out = out + F.shiftleft(
+                F.when(s > 0, F.lit(1).cast("long")).otherwise(0), i
+            )
+        return out
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    c = F.col("text")
+    mismatches = docs.select(
+        (dedup.simhash64(c) == legacy_simhash(
+            c, 64, lambda t: F.xxhash64(t))).alias("a"),
+        (dedup.simhash_md5_60(c) == legacy_simhash(
+            c, 20,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+            .cast("long"))).alias("b"),
+    ).filter(~F.col("a") | ~F.col("b")).count()
+    assert mismatches == 0

@@ -4,6 +4,7 @@ stratified-k, systematic, importance."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataprof_spark.operators import sampling
 
@@ -56,3 +57,67 @@ def test_stratified_first_k(orders):
 def test_importance_filter(orders):
     got = sampling.importance(orders, "o_totalprice", 100000.0)
     assert got.filter("o_totalprice < 100000").count() == 0
+
+
+def test_multistage_filter_then_fixed(spark):
+    """strategies.rs MultiStage: streaming filters in sequence, one
+    terminal fixed-size stage draws from what they pass."""
+    from dataprof_spark.operators import sampling
+
+    df = spark.range(1000).withColumn("w", F.col("id") % 10)
+    out = sampling.multi_stage(
+        df,
+        [
+            ("systematic", {"interval": 2}),          # ids % 2 == 0
+            ("importance", {"weight_column": "w",
+                            "weight_threshold": 4.0}),
+            ("reservoir", {"size": 20}),
+        ],
+        id_col="id",
+    ).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["id"] % 2 == 0 and r["w"] >= 4.0
+    # deterministic: same stages, same rows
+    again = sampling.multi_stage(
+        df,
+        [
+            ("systematic", {"interval": 2}),
+            ("importance", {"weight_column": "w",
+                            "weight_threshold": 4.0}),
+            ("reservoir", {"size": 20}),
+        ],
+        id_col="id",
+    ).collect()
+    assert {r["id"] for r in out} == {r["id"] for r in again}
+
+
+def test_multistage_refuses_two_fixed_stages(spark):
+    """sampler.rs:242-248: two fixed-size stages have no combined
+    meaning — refuse, don't guess."""
+    from dataprof_spark.operators import sampling
+
+    df = spark.range(100)
+    with pytest.raises(sampling.InvalidSamplingCombination,
+                       match="at most one fixed-size stage"):
+        sampling.multi_stage(
+            df,
+            [("random", {"size": 10}), ("reservoir", {"size": 5})],
+            id_col="id",
+        )
+
+
+def test_multistage_refuses_filter_after_fixed(spark):
+    """sampler.rs:258-266: a filter after the fixed-size stage would
+    have nothing to act on."""
+    from dataprof_spark.operators import sampling
+
+    df = spark.range(100)
+    with pytest.raises(sampling.InvalidSamplingCombination,
+                       match="must be the last"):
+        sampling.multi_stage(
+            df,
+            [("reservoir", {"size": 10}),
+             ("systematic", {"interval": 2})],
+            id_col="id",
+        )
