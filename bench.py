@@ -158,6 +158,14 @@ def run_executor_scaling() -> dict:
 
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
 
+    def cpu_ticks():
+        """(steal, total) jiffies from /proc/stat — objective record
+        of hypervisor interference during each measured window."""
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
     def run_phase(worker_specs):
         """Start workers, wait for all warm-ups, release the barrier,
         time go → last `done` marker (teardown excluded — JVM
@@ -178,6 +186,7 @@ def run_executor_scaling() -> dict:
             if any(p.poll() is not None and p.poll() != 0 for p in procs):
                 raise RuntimeError("bench worker died before barrier")
         open(os.path.join(bdir, "go"), "w").close()
+        steal0, total0 = cpu_ticks()
         t0 = time.perf_counter()
         while (
             len([f for f in os.listdir(bdir) if f.startswith("done")])
@@ -187,11 +196,15 @@ def run_executor_scaling() -> dict:
             if any(p.poll() is not None and p.poll() != 0 for p in procs):
                 raise RuntimeError("bench worker died mid-measurement")
         wall = time.perf_counter() - t0
+        steal1, total1 = cpu_ticks()
+        steal_pct = (
+            100.0 * (steal1 - steal0) / max(1, total1 - total0)
+        )
         results = []
         for p in procs:
             stdout, _ = p.communicate()
             results.append(json.loads(stdout.strip().splitlines()[-1]))
-        return wall, results
+        return wall, results, steal_pct
 
     # WEAK scaling — the cluster-sizing definition: 4× the executors
     # process 4× the data in (ideally) the same wall time. Each
@@ -203,41 +216,23 @@ def run_executor_scaling() -> dict:
 
     # PAIRED design against time-varying host steal on this shared
     # VM: each trial runs the 1× phase and the 4N phase back-to-back,
-    # so both sides of the ratio see the same host conditions; we
-    # report the best pair (the trial least polluted by steal) and
-    # list every pair for transparency.
+    # so both sides of the ratio see the same host conditions. The
+    # estimator is the MEDIAN of ≥5 pairs (VERDICT r1 #3: a best-pair
+    # pick is not an estimator); every pair is listed for
+    # transparency.
+    n_trials = int(os.environ.get("BENCH_SCALING_TRIALS", "5"))
     spec_1 = [(shard_files(42), "0-7")]
     spec_4 = [
         (shard_files(42 + i), cores)
         for i, cores in enumerate(core_sets)
     ]
     pairs = []
-    for _ in range(2):
-        w1, r1 = run_phase(spec_1)
-        w4, r4 = run_phase(spec_4)
-        pairs.append((w1, w4, r1, r4))
-    wall_1, wall_4, r1, r4 = max(
-        pairs, key=lambda p: p[0] / p[1]
-    )
-    # merge with the best pair observed in ANY invocation (persisted):
-    # host-steal bursts last minutes — single invocations routinely
-    # catch one phase in a burst; the best clean pair is the number
-    # that predicts a real (non-shared) cluster.
-    cfg = (
-        f"docs{BENCH_DOCS}_cache"
-        f"{os.environ.get('DATAPROF_LANGID_CACHE', '1')}"
-    )
-    state_path = os.path.join(BENCH_CACHE, "scaling_best_pair.json")
-    state = {}
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            state = json.load(f)
-    prev = state.get(cfg)
-    if prev and prev["wall_1"] / prev["wall_4"] > wall_1 / wall_4:
-        wall_1, wall_4 = prev["wall_1"], prev["wall_4"]
-    state[cfg] = {"wall_1": wall_1, "wall_4": wall_4}
-    with open(state_path, "w") as f:
-        json.dump(state, f)
+    for _ in range(n_trials):
+        w1, r1, s1 = run_phase(spec_1)
+        w4, r4, s4 = run_phase(spec_4)
+        pairs.append((w1, w4, r1, r4, s1, s4))
+    ranked = sorted(pairs, key=lambda p: p[0] / p[1])
+    wall_1, wall_4, r1, r4, _s1, _s4 = ranked[len(ranked) // 2]  # median
     docs_1 = sum(r["n_docs"] * r["n_runs"] for r in r1)
     docs_4 = sum(r["n_docs"] * r["n_runs"] for r in r4)
     thr_1, thr_4 = docs_1 / wall_1, docs_4 / wall_4
@@ -247,6 +242,7 @@ def run_executor_scaling() -> dict:
         "metric": "executor_scaling_1_to_4",
         "value": round(eff, 3),
         "unit": "ratio",
+        "estimator": f"median of {n_trials} paired trials",
         "wall_1x_local8_sec": round(wall_1, 3),
         "wall_4x_local8_sec": round(wall_4, 3),
         "docs_per_sec_1x": round(thr_1, 1),
@@ -255,8 +251,9 @@ def run_executor_scaling() -> dict:
         "per_worker_walls": [r["value"] for r in r4],
         "all_pairs": [
             {"wall_1": round(w1, 3), "wall_4": round(w4, 3),
-             "eff": round(w1 / w4, 3)}
-            for w1, w4, _a, _b in pairs
+             "eff": round(w1 / w4, 3),
+             "steal_pct_1": round(s1, 2), "steal_pct_4": round(s4, 2)}
+            for w1, w4, _a, _b, s1, s4 in pairs
         ],
         "hardware_ceiling_eff": ceiling,
         "normalized_eff": round(min(eff / ceiling, 1.0), 3),
@@ -401,7 +398,9 @@ def run_scaling(out_path: str = "BENCH/BASELINE.md") -> dict:
         os.environ.pop("DATAPROF_LANGID_CACHE", None)
     summary = {
         "metric": "scaling_efficiency",
-        "value": max(execs["value"], execs_heavy["value"]),
+        # headline = the production-weight configuration (real model
+        # forward passes), declared upfront — not max-of-configs
+        "value": execs_heavy["value"],
         "unit": "ratio",
         "executor_eff_heavy_model": execs_heavy["value"],
         "thread_eff_8_to_32": round(eff_threads, 3) if eff_threads else None,
@@ -439,10 +438,10 @@ def run_scaling(out_path: str = "BENCH/BASELINE.md") -> dict:
             "Protocol: paired trials — each trial runs the 1× phase "
             "and the 4N phase back-to-back so both sides of the ratio "
             "see the same host conditions (this VM is shared; host-"
-            "steal bursts last minutes and pollute whole phases). The "
-            "best pair across all recorded invocations is reported "
-            "(persisted in .bench_cache/scaling_best_pair.json); this "
-            f"invocation's pairs: {execs['all_pairs']}.\n\n"
+            "steal bursts last minutes and pollute whole phases). "
+            f"Estimator: {execs['estimator']} (median, not best — "
+            "VERDICT r1 #3). All pairs: "
+            f"{execs['all_pairs']}.\n\n"
             "With a PRODUCTION-WEIGHT model stage (per-token langid "
             "memoization disabled — the sandbox stand-in for real "
             "fastText/KenLM forward passes, which a memo cannot skip) "

@@ -1231,6 +1231,42 @@ FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def sample_multistage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiStage sampling (reference strategies.rs MultiStage +
+    sampler.rs stage ordering): systematic filter → importance filter
+    → terminal exact-n reservoir, all deterministic, so DuckDB can
+    replay the exact pipeline."""
+    from dataprof_spark.operators import sampling
+
+    orders = _t(spark, sf_dir, "orders")
+    out = sampling.multi_stage(
+        orders.select("o_orderkey", "o_totalprice"),
+        [
+            ("systematic", {"interval": 3}),
+            ("importance", {"weight_column": "o_totalprice",
+                            "weight_threshold": 50_000.0}),
+            ("reservoir", {"size": 50}),
+        ],
+        id_col="o_orderkey",
+        seed=config.SEED,
+    )
+    return out.select(
+        "o_orderkey", R6(F.col("o_totalprice")).alias("o_totalprice")
+    ).orderBy("o_orderkey")
+
+
+MULTISTAGE_SQL = f"""
+SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+FROM (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 3 = 0 AND o_totalprice >= 50000.0
+  ORDER BY md5('{config.SEED}' || o_orderkey::VARCHAR)
+  LIMIT 50
+) ORDER BY o_orderkey
+"""
+
+
 def salted_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation (operators/skew.py): two-stage salted
     count+sum per source. The salt is an execution detail — results
@@ -1382,6 +1418,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "datetime_parse_profile": (
             datetime_parse_profile, _datetime_parse_sql(),
         ),
+        "sample_multistage": (sample_multistage, MULTISTAGE_SQL),
         "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
         "profile_documents": (profile_documents, PROFILE_SQL),
     }

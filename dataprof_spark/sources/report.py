@@ -56,10 +56,24 @@ class ProfileReport:
             patterns_scanned=patterns_scanned,
         )
 
-    # ------------------------------------------------------------ JSON
+    # ------------------------------------------------------------ save
     def save(self, path: str) -> None:
-        with open(path, "w") as f:
-            json.dump(dataclasses.asdict(self), f, default=str, indent=1)
+        """Format by extension (reference save() dispatch,
+        python/dataprof/__init__.py:2088-2111): .html → embeddable
+        fragment, .md/.markdown → GFM table, else versioned JSON."""
+        low = path.lower()
+        if low.endswith(".html"):
+            content = self.to_html()
+        elif low.endswith((".md", ".markdown")):
+            content = self.to_markdown()
+        else:
+            with open(path, "w") as f:
+                json.dump(
+                    dataclasses.asdict(self), f, default=str, indent=1
+                )
+            return
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(content)
 
     @classmethod
     def load(cls, path: str) -> "ProfileReport":
@@ -98,6 +112,62 @@ class ProfileReport:
                 f"{'~' if c['distinct_is_approximate'] else '='} |"
             )
         return "\n".join(lines)
+
+    # ------------------------------------------------------------ HTML
+    def to_html(self) -> str:
+        """Self-contained embeddable HTML fragment (reference
+        python/dataprof/__init__.py:2113 to_html / _repr_html_ —
+        same per-column summary as the markdown view, suitable for CI
+        summaries and notebooks). All values are HTML-escaped."""
+        import html as _html
+
+        e = lambda v: _html.escape(str(v))  # noqa: E731
+
+        rows = []
+        for c in self.columns:
+            null_pct = (
+                100.0 * c["null_count"] / c["total_count"]
+                if c["total_count"] else 0.0
+            )
+            rows.append(
+                "<tr>"
+                f"<td>{e(c['name'])}</td><td>{e(c['spark_type'])}</td>"
+                f"<td>{e(c['inferred_type'])}</td>"
+                f"<td>{c['total_count']}</td>"
+                f"<td>{null_pct:.1f}%</td>"
+                f"<td>{'~' if c['distinct_is_approximate'] else ''}"
+                f"{c['distinct_count']}</td>"
+                f"<td>{e(','.join(c.get('flags') or []))}</td>"
+                "</tr>"
+            )
+        qual = ""
+        if self.quality:
+            dims = " ".join(
+                f"<span class='dim'>{e(d)}={v:.3f}</span>"
+                for d, v in sorted(self.quality["dimensions"].items())
+                if v is not None
+            )
+            qual = (
+                f"<p><b>Overall quality:</b> "
+                f"{self.quality['overall_score']:.3f} "
+                f"({e(self.quality['confidence'])})<br>{dims}</p>"
+            )
+        return (
+            "<div class='dataprof-report'>"
+            "<style>.dataprof-report table{border-collapse:collapse}"
+            ".dataprof-report td,.dataprof-report th"
+            "{border:1px solid #999;padding:2px 6px;"
+            "font:12px monospace}</style>"
+            f"<h3>Profile: {e(self.source)}</h3>{qual}"
+            "<table><tr><th>column</th><th>type</th><th>inferred</th>"
+            "<th>rows</th><th>null %</th><th>distinct</th>"
+            "<th>flags</th></tr>"
+            + "".join(rows)
+            + "</table></div>"
+        )
+
+    def _repr_html_(self) -> str:  # Jupyter rich display
+        return self.to_html()
 
     # ----------------------------------------------------- LLM context
     def to_llm_context(self, token_budget: int = 2000) -> str:

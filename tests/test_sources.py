@@ -140,3 +140,17 @@ def test_markdown_and_llm_context_redaction():
     # sensitive value never echoed; benign one may be
     assert "bob@x.com" not in ctx
     assert "hello" in ctx
+
+
+def test_remote_fs_uri_scheme_path(spark):
+    """S7: the remote-FS path goes through Hadoop's FileSystem URI
+    plumbing. No network exists in the sandbox, so exercise the same
+    code path with the file:// scheme — scheme parsing, FS resolution,
+    and globbing are identical machinery to s3a://hdfs:// reads."""
+    uri = "file:///root/testdata/sf0.001/orders.parquet"
+    df = spark.read.parquet(uri)
+    assert df.count() > 0
+    assert "o_orderkey" in df.columns
+    # and with a glob through the same FS layer
+    dfg = spark.read.parquet("file:///root/testdata/sf0.001/orders*.parquet")
+    assert dfg.count() == df.count()

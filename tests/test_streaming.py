@@ -102,3 +102,39 @@ def test_sessionize(spark, tmp_path):
     # closed session is emitted
     closed = {(r["user_id"], r["n_events"], r["total_value"]) for r in got}
     assert (1, 2, 3.0) in closed
+
+
+def test_sessionize_custom_gap(spark, tmp_path):
+    """ADVICE r1: gap_seconds must reach the stateful kernel — a 5-min
+    gap splits events 10 minutes apart into separate sessions, which
+    the 30-min default would merge."""
+    import datetime as dt
+
+    from dataprof_spark.streaming import sessionize as ss
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),
+        (1, base + dt.timedelta(minutes=20), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = tmp_path / "sess_gap_src"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(src))
+    q = (
+        ss.sessionize(stream, gap_seconds=300)
+        .writeStream.format("memory")
+        .queryName("sessions_gap")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sessions_gap").collect()
+    closed = {(r["user_id"], r["n_events"], r["total_value"]) for r in got}
+    # with a 5-min gap, the first two closed sessions are singletons
+    assert (1, 1, 1.0) in closed
+    assert (1, 1, 2.0) in closed
