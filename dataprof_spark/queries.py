@@ -851,6 +851,80 @@ FROM documents ORDER BY doc_id
 """
 
 
+def keep_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep-rate rollup — the pipeline health metric a
+    100 TB run watches per crawl/domain partition. Spark computes it
+    directly in the gate projection (no join); at scale this is one
+    partial-combined groupBy on a low-cardinality key. The oracle
+    recomputes via the gates subquery joined back to documents."""
+    docs = _t(spark, sf_dir, "documents")
+    reason = exprs.heuristic_reason(
+        F.col("text"), english=F.col("lang") == "en"
+    )
+    keep = reason.isNull().cast("long")
+    return (
+        docs.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_keep"),
+            R6(F.avg(F.col("keep").cast("double"))).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _keep_rate_sql() -> str:
+    inner = _doc_gates_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH g AS ({inner})
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN g.keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       round(avg(CASE WHEN g.keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM g JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder: term frequency + document frequency
+    for the top-100 whitespace tokens — the first step of tokenizer /
+    IDF training over a corpus. One explode → one partial-combined
+    groupBy → TakeOrderedAndProject top-k (no global sort of the full
+    vocabulary)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                r"\s+", -1),
+        lambda x: x != "",
+    )
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(100)
+    )
+
+
+VOCAB_SQL = r"""
+SELECT term, count(*)::BIGINT AS tf,
+       count(DISTINCT doc_id)::BIGINT AS df
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '\s+'),
+           x -> x != '')) AS term
+  FROM documents
+)
+GROUP BY term ORDER BY tf DESC, term LIMIT 100
+"""
+
+
 def doc_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detector counts per document (reference patterns.rs:45-104
     Email/Phone/IPv4 recast; native regexp_count — the scrubber itself
@@ -1419,6 +1493,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             datetime_parse_profile, _datetime_parse_sql(),
         ),
         "sample_multistage": (sample_multistage, MULTISTAGE_SQL),
+        "keep_rate_by_source": (keep_rate_by_source, _keep_rate_sql()),
+        "vocab_top_terms": (vocab_top_terms, VOCAB_SQL),
         "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
         "profile_documents": (profile_documents, PROFILE_SQL),
     }
