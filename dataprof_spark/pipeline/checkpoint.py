@@ -46,6 +46,30 @@ class BucketCountMismatch(ValueError):
     """Resume attempted with a different n_buckets than the manifests."""
 
 
+class InputMismatch(ValueError):
+    """Resume attempted against a different input than the manifests
+    were written from — completed partitions would silently describe
+    the wrong data."""
+
+
+def input_fingerprint(df: DataFrame) -> str | None:
+    """Identity of a file-backed input: sha256 over the sorted file
+    list (None for in-memory DataFrames — nothing stable to hash)."""
+    import hashlib
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
 def with_part_key(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT,
                   url_col: str = "url") -> DataFrame:
     """Deterministic partition key: xxhash64(url) mod n_buckets.
@@ -131,6 +155,17 @@ def run(
     """
     t0 = time.perf_counter()
     run_id = run_id or uuid.uuid4().hex[:12]
+    fp = input_fingerprint(pages)
+    for prev_row in _read_manifests(out_dir):
+        prev_fp = prev_row.get("input_fingerprint")
+        if fp is not None and prev_fp is not None and prev_fp != fp:
+            raise InputMismatch(
+                f"manifests in {out_dir} were written from input "
+                f"{prev_fp}, but this run reads {fp}; partitions "
+                "marked done would describe different data. Use a "
+                "fresh output dir for a new input."
+            )
+        break  # fingerprint is run-level; one row suffices
     done = done_partitions(out_dir, n_buckets=n_buckets)
     pending = [k for k in range(n_buckets) if k not in done]
     if max_partitions is not None:
@@ -208,6 +243,7 @@ def run(
             "run_id": run_id,
             "partition_id": k,
             "n_buckets": n_buckets,
+            "input_fingerprint": fp,
             "input_snapshot_id": 0,
             "docs_in": counters["docs_in"],
             "docs_out": counters["docs_out"],

@@ -120,3 +120,30 @@ def test_metrics_lineage(spark, tmp_path):
     assert metrics.count() == 3
     # partition files exist per bucket
     assert len(glob.glob(f"{out}/decisions/part_key=*")) == 3
+
+
+def test_input_fingerprint_mismatch_fails_fast(spark, tmp_path):
+    """ADVICE r1: manifests carry an input identity — resuming a
+    partially-done output dir against a DIFFERENT file-backed input
+    refuses instead of mixing datasets."""
+    import pytest
+
+    a = fixtures.pages_df(spark, ROWS)
+    dir_a, dir_b = str(tmp_path / "in_a"), str(tmp_path / "in_b")
+    a.write.parquet(dir_a)
+    fixtures.pages_df(spark, fixtures.generate_pages(n=100)).write.parquet(
+        dir_b
+    )
+    out = str(tmp_path / "out")
+    checkpoint.run(
+        spark.read.parquet(dir_a), out, n_buckets=4, max_partitions=2
+    )
+    with pytest.raises(checkpoint.InputMismatch):
+        checkpoint.run(spark.read.parquet(dir_b), out, n_buckets=4)
+    # the matching input still resumes
+    rows = checkpoint.run(spark.read.parquet(dir_a), out, n_buckets=4)
+    assert sorted(r["partition_id"] for r in rows) == [2, 3]
+    # in-memory inputs have no stable identity -> no false refusal
+    out2 = str(tmp_path / "out2")
+    checkpoint.run(a, out2, n_buckets=3, max_partitions=1)
+    assert len(checkpoint.run(a, out2, n_buckets=3)) == 2

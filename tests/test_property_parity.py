@@ -104,3 +104,55 @@ def test_spark_parity_on_hypothesis_corpus(spark):
            or g["mj"] != ts.mojibake_count(t):
             mismatches.append((repr(t)[:80], have, want))
     assert not mismatches, mismatches[:5]
+
+
+def test_date_parse_chain_roundtrip_property(spark):
+    """Property: any calendar date rendered in ANY of the chain's six
+    date formats parses back to the same date, and ambiguous
+    DD/MM-vs-MM/DD strings resolve EUROPEAN-first (datetime.rs:
+    116-124). Verified batch-wise through the Spark expression."""
+    import datetime as dt
+
+    from dataprof_spark.functions import dates as D
+
+    py_fmt = {
+        "yyyy-MM-dd": "%Y-%m-%d",
+        "dd/MM/yyyy": "%d/%m/%Y",
+        "dd-MM-yyyy": "%d-%m-%Y",
+        "dd.MM.yyyy": "%d.%m.%Y",
+        "yyyy/MM/dd": "%Y/%m/%d",
+        "MM/dd/yyyy": "%m/%d/%Y",
+    }
+
+    # deterministic hypothesis-driven corpus, evaluated in ONE Spark job
+    cases = []
+    seen = set()
+    import random
+
+    rng = random.Random(7)
+    for _ in range(400):
+        d = dt.date(1900, 1, 2) + dt.timedelta(days=rng.randint(0, 73000))
+        fmt = rng.choice(list(py_fmt))
+        s = d.strftime(py_fmt[fmt])
+        if s in seen:
+            continue
+        seen.add(s)
+        # expected = FIRST format in chain order that parses this string
+        expect = None
+        for spark_fmt, _ in D.DATE_FORMATS:
+            try:
+                expect = dt.datetime.strptime(
+                    s, py_fmt[spark_fmt]
+                ).date()
+                break
+            except ValueError:
+                continue
+        cases.append((s, expect.isoformat()))
+    sdf = spark.createDataFrame(cases, "s string, expect string")
+    from pyspark.sql import functions as F
+
+    bad = sdf.filter(
+        D.parse_date_flexible(F.col("s")).cast("string")
+        != F.col("expect")
+    ).collect()
+    assert not bad, bad[:5]
