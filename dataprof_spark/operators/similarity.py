@@ -181,3 +181,106 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------------ IVF
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: the n_cells corpus vectors with
+    the smallest md5(id) (content-derived — same cells on any cluster
+    size / partition layout), L2-normalized driver-side. IVF needs a
+    FIXED partition of the space, not an optimal one; skipping Lloyd
+    iterations keeps the quantizer reproducible in ANSI SQL, which is
+    what lets the DuckDB oracle verify the cell assignment itself."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = []
+    for r in rows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        n = float(np.sqrt((v * v).sum()))
+        cents.append(v / n if n > 0 else v)
+    return np.asarray(cents)
+
+
+def _cent_dots(vec: Column, cents: np.ndarray) -> Column:
+    """Array of round(dot(vec, unit_centroid_i), 9) — rounded so a
+    last-ulp summation difference between engines cannot flip an
+    argmax; ties then break on the smaller cell index in both."""
+    return F.array(*[
+        F.round(
+            _dot(vec, F.array(*[F.lit(float(x)) for x in c])), 9
+        )
+        for c in cents
+    ])
+
+
+def ivf_cell(vec: Column, cents: np.ndarray) -> Column:
+    """1-based nearest-cell id: argmax of centroid dots (first max)."""
+    dots = _cent_dots(vec, cents)
+    return F.array_position(dots, F.array_max(dots)).cast("long")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their
+    nearest coarse cell ONCE in the scan projection; each query probes
+    its n_probe nearest cells. The scan per query drops ~n_cells/
+    n_probe×; the probe join is a broadcast on the tiny query side —
+    no corpus shuffle at any point (the cell column rides the scan)."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    # top-n_probe cells per query: sort (−dot, idx) structs natively
+    dots = _cent_dots(F.col(vec_col), cents)
+    ranked_cells = F.slice(
+        F.sort_array(
+            F.zip_with(
+                dots,
+                F.sequence(F.lit(1), F.lit(len(cents))),
+                lambda d, i: F.struct((-d).alias("nd"), i.alias("idx")),
+            )
+        ),
+        1, n_probe,
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(ranked_cells).alias("probe"),
+        ).select(
+            "query_id", "q_vec",
+            F.col("probe.idx").cast("long").alias("cell"),
+        )
+    )
+    scored = c.join(q, "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -249,11 +249,78 @@ ORDER BY doc_id
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/similarity.ivf_topk): the
+    coarse quantizer is content-derived (n_cells vectors with the
+    smallest md5(vec_id), unit-normalized), so the DuckDB oracle
+    reproduces the CELL ASSIGNMENT itself — not just the final
+    cosines. Dots are rounded to 9dp on both sides before the argmax
+    so a last-ulp summation difference can never flip a cell."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
+def _ddb_ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(qc.q_vec, qc.q_vec))"
+        " * sqrt(list_dot_product(cf.c_vec, cf.c_vec)) > 0"
+        " THEN list_dot_product(qc.q_vec, cf.c_vec)"
+        " / (sqrt(list_dot_product(qc.q_vec, qc.q_vec))"
+        " * sqrt(list_dot_product(cf.c_vec, cf.c_vec)))"
+        " ELSE 0.0 END"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS cidx,
+         list_transform(embedding::DOUBLE[], x -> x /
+           sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[]))) AS unit
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(vec_id::VARCHAR) LIMIT {n_cells})
+), corpus_cells AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS c_vec, c.cidx,
+         round(list_dot_product(e.embedding::DOUBLE[], c.unit), 9) AS d
+  FROM embeddings e CROSS JOIN cents c
+), cell_of AS (
+  SELECT neighbor_id, c_vec, cidx AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                  ORDER BY d DESC, cidx) AS rn FROM corpus_cells)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < 5
+), q_cells AS (
+  SELECT query_id, q_vec, cidx AS cell
+  FROM (SELECT q.query_id, q.q_vec, c.cidx,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY round(list_dot_product(q.q_vec, c.unit), 9) DESC,
+                     c.cidx) AS rn
+        FROM q CROSS JOIN cents c)
+  WHERE rn <= {n_probe}
+), scored AS (
+  SELECT qc.query_id, cf.neighbor_id, round({cos}, 6) AS cos_sim
+  FROM q_cells qc JOIN cell_of cf USING (cell)
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def registry():
     return {
         "minhash_per_doc": (minhash_per_doc, _ddb_minhash_sql()),
         "near_dup_pairs": (near_dup_pairs, _ddb_near_dup_sql()),
         "ann_topk": (ann_topk, ANN_SQL),
+        "ann_ivf_topk": (ann_ivf_topk, _ddb_ivf_sql()),
         "embedding_near_dups": (
             embedding_near_dups, _ddb_embedding_near_dup_sql(),
         ),

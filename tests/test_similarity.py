@@ -69,3 +69,52 @@ def test_embedding_near_dup_self_excluded(emb):
     for r in pairs.collect():
         assert r["id_a"] < r["id_b"]
         assert r["cos_sim"] >= 0.99
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with n_probe=4 of 16 cells must recover most exact
+    neighbors on the clustered embedding fixture (the scale path
+    trades recall for a ~4x smaller scan per query)."""
+    from dataprof_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_cells=16, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_ivf_cell_assignment_deterministic_across_layouts(spark):
+    """The quantizer is content-derived: repartitioning the corpus
+    must not change any cell assignment."""
+    from dataprof_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_cells=8)
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id",
+            similarity.ivf_cell(F.col("embedding"), cents).alias("cell"),
+        ).collect()
+    }
+    cents2 = similarity.ivf_centroids(emb.repartition(7), n_cells=8)
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in emb.repartition(3).select(
+            "vec_id",
+            similarity.ivf_cell(F.col("embedding"), cents2).alias("cell"),
+        ).collect()
+    }
+    assert a == b
