@@ -303,6 +303,180 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 """
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    a 4-way join (fact ⋈ fact + two broadcast dims) with a top-20.
+    Plan: orders⋈lineitem shuffle on orderkey; customer and nation
+    broadcast; TakeOrderedAndProject for the top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(R6(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders above a quantity
+    threshold — groupBy-HAVING on the fact, then joins back. The
+    having-filtered key set is small → broadcast back against orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string")
+            .alias("o_orderdate"),
+            R6(F.col("o_totalprice")).alias("o_totalprice"),
+            R6(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 6) AS o_totalprice,
+       round(total_qty, 6) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp table in the fixture —
+    the part↔supplier relation comes from lineitem): distinct supplier
+    count per (brand, type), EXCLUDING suppliers with negative account
+    balance via an anti-join (Q16's NOT IN complaint-supplier list)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        rel.groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+        .limit(50)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 50
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated-min subquery, adapted to the
+    lineitem-derived supply relation): for each part, the supplier(s)
+    achieving the MINIMUM unit price. Expressed as a window min over
+    the relation — Spark's native decorrelation of Q2's scalar
+    subquery (one shuffle on partkey, no self-join)."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    unit = R6(F.col("l_extendedprice") / F.col("l_quantity"))
+    rel = li.select(
+        "l_partkey", "l_suppkey", unit.alias("unit_price")
+    ).groupBy("l_partkey", "l_suppkey").agg(
+        F.min("unit_price").alias("unit_price")
+    )
+    w = W.partitionBy("l_partkey")
+    best = rel.withColumn(
+        "min_price", F.min("unit_price").over(w)
+    ).filter(F.col("unit_price") == F.col("min_price"))
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            R6(F.col("unit_price")).alias("unit_price"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(200)
+    )
+
+
+Q2_SQL = """
+WITH rel AS (
+  SELECT l_partkey, l_suppkey,
+         min(round(l_extendedprice / l_quantity, 6)) AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT * FROM (
+    SELECT rel.*, min(unit_price) OVER (PARTITION BY l_partkey)
+             AS min_price
+    FROM rel
+  ) WHERE unit_price = min_price
+)
+SELECT p_partkey, p_brand, s_name,
+       round(unit_price, 6) AS unit_price
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY p_partkey, s_name LIMIT 200
+"""
+
+
 def topk_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N frequency truncation (reference A16: N=10, ties by value)."""
     from pyspark.sql import Window as W
@@ -1410,6 +1584,81 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (rolling-hash selection, Schleimer et al.
+    — the brief's 'document fingerprinting (rolling hash)'): hash each
+    word 5-gram, slide a window of 4 over the hash sequence, keep the
+    window minimum, dedupe. Near-identical documents share most
+    selected hashes even after local edits — the plagiarism-detection
+    property. Entirely native: one projection, no explode, no shuffle;
+    summarized here as (n_fingerprints, min_fp) per doc so the result
+    stays row-per-doc for the oracle."""
+    k, w = 5, 4
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                r"\s+", -1),
+        lambda x: x != "",
+    )
+    n = F.size(toks)
+    # k-gram rolling hashes: md5 of the joined 5-token window
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 8
+                ),
+                16, 10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g_n = F.size(grams)
+    fps = F.when(
+        g_n >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), g_n - (w - 1)),
+                lambda i: F.array_min(F.slice(grams, i, w)),
+            )
+        ),
+    ).otherwise(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+    )
+
+
+WINNOW_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           list_transform(range(1, len(toks) - 3),
+             i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')),
+                                  1, 8))::BIGINT)
+         ELSE [] END AS grams
+  FROM t
+), f AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 4 THEN
+           list_distinct(list_transform(range(1, len(grams) - 2),
+             i -> list_min(grams[i:i+3])))
+         ELSE list_distinct(grams) END AS fps
+  FROM g
+)
+SELECT doc_id, len(fps)::BIGINT AS n_fingerprints,
+       list_min(fps)::BIGINT AS min_fp
+FROM f ORDER BY doc_id
+"""
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level profile aggregates (the reference's per-column
     ColumnProfile recast over the documents table): one row, exact
@@ -1461,6 +1710,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "q12_priority_shipping": (q12_priority_shipping, Q12_SQL),
         "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+        "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
+        "q18_large_orders": (q18_large_orders, Q18_SQL),
+        "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
+        "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
         "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
         "moments_quantity": (moments_quantity, MOMENTS_SQL),
         "timeliness_orders": (timeliness_orders, TIMELINESS_SQL),
@@ -1496,5 +1749,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "keep_rate_by_source": (keep_rate_by_source, _keep_rate_sql()),
         "vocab_top_terms": (vocab_top_terms, VOCAB_SQL),
         "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+        "doc_winnow_fingerprints": (
+            doc_winnow_fingerprints, WINNOW_SQL,
+        ),
         "profile_documents": (profile_documents, PROFILE_SQL),
     }

@@ -78,3 +78,21 @@ def streaming_quality_gate(stream: DataFrame) -> DataFrame:
     return stream.withColumn(
         "drop_reason", gates.heuristic_reason_col("text", "lang")
     ).withColumn("keep", F.col("drop_reason").isNull())
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with WATERMARK-BOUNDED state — the
+    streaming twin of operators/dedup.exact (and the op a 100 TB
+    continuous-ingest pipeline needs: re-crawled URLs inside the
+    watermark horizon are dropped, state older than the horizon is
+    evicted, so the state store cannot grow with the corpus).
+    dropDuplicatesWithinWatermark keeps the FIRST arrival of each key
+    and, unlike plain dropDuplicates on a stream, bounds state by the
+    watermark instead of retaining every key forever."""
+    return stream.withWatermark(ts_col, watermark)\
+        .dropDuplicatesWithinWatermark(key_cols)

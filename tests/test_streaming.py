@@ -138,3 +138,46 @@ def test_sessionize_custom_gap(spark, tmp_path):
     # with a 5-min gap, the first two closed sessions are singletons
     assert (1, 1, 1.0) in closed
     assert (1, 1, 2.0) in closed
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys arriving across micro-batches inside the
+    watermark horizon are dropped; state is watermark-bounded."""
+    import datetime as dt
+
+    from dataprof_spark.streaming import events as ev
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    b0 = [
+        (1, base, 10, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 11, "view", 2.0, "{}"),
+    ]
+    b1 = [
+        (1, base + dt.timedelta(minutes=5), 10, "click", 1.0, "{}"),  # dup id
+        (3, base + dt.timedelta(minutes=6), 12, "click", 3.0, "{}"),
+    ]
+    src = tmp_path / "dedup_src"
+    schema = ev.EVENT_SCHEMA
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        ev.stream_dedup(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("deduped_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("deduped_stream").collect()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == [1, 2, 3]  # the re-arrived event_id=1 was dropped
