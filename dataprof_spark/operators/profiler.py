@@ -94,6 +94,13 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES) -> list[ColumnProfi
                 F.expr(
                     f"percentile({n}, array(0.25, 0.5, 0.75))"
                 ).alias(f"{n}__quartiles"),
+                # equi-depth decile edges (approx — exact buffers all
+                # values; the profiler is a summary, the provenance
+                # flag below says so)
+                F.expr(
+                    f"approx_percentile({n}, "
+                    "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 1000)"
+                ).alias(f"{n}__deciles"),
             ]
         elif _is_temporal(f_.dataType):
             aggs += [
@@ -166,6 +173,8 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES) -> list[ColumnProfi
                 "q1": q[0] if q else None,
                 "median": q[1] if q else None,
                 "q3": q[2] if q else None,
+                "decile_edges": list(row[f"{n}__deciles"] or []),
+                "decile_edges_approximate": True,
                 # CV: None when |mean| < 0.001 (numeric.rs:230-237)
                 "cv": (
                     std / abs(mean) * 100.0
@@ -432,3 +441,26 @@ def profiles_to_df(spark, profiles: list[ColumnProfile]) -> DataFrame:
         "distinct_is_approximate boolean, stats string, "
         "top_values string, flags string",
     )
+
+
+def correlations(df: DataFrame, cols: list[str] | None = None) -> dict:
+    """Pearson correlation matrix over numeric columns in ONE agg job
+    (all n·(n−1)/2 `corr` aggregates fuse under codegen — no per-pair
+    scans). Returns {(col_a, col_b): r} for a < b."""
+    if cols is None:
+        cols = [
+            f_.name for f_ in df.schema.fields if _is_numeric(f_.dataType)
+        ]
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    if not pairs:
+        return {}
+    row = df.agg(
+        *[
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+            .alias(f"{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    ).collect()[0]
+    return {pair: row[str(i)] for i, pair in enumerate(pairs)}

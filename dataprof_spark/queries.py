@@ -1659,6 +1659,43 @@ FROM f ORDER BY doc_id
 """
 
 
+def correlations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric measures —
+    ONE agg job for all pairs (operators/profiler.correlations)."""
+    from dataprof_spark.operators import profiler
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    corr = profiler.correlations(li, cols)
+    return spark.createDataFrame(
+        [
+            (a, b, round(v, 6) if v is not None else None)
+            for (a, b), v in sorted(corr.items())
+        ],
+        "col_a string, col_b string, pearson_r double",
+    )
+
+
+CORR_SQL = """
+SELECT col_a, col_b, round(r, 6) AS pearson_r FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         corr(l_quantity, l_extendedprice) AS r FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount',
+         corr(l_extendedprice, l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax',
+         corr(l_extendedprice, l_tax) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+) ORDER BY col_a, col_b
+"""
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level profile aggregates (the reference's per-column
     ColumnProfile recast over the documents table): one row, exact
@@ -1752,5 +1789,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "doc_winnow_fingerprints": (
             doc_winnow_fingerprints, WINNOW_SQL,
         ),
+        "correlations_lineitem": (correlations_lineitem, CORR_SQL),
         "profile_documents": (profile_documents, PROFILE_SQL),
     }

@@ -224,3 +224,32 @@ def test_quality_approx_percentiles_provenance(spark):
     assert approx.dimensions["accuracy"] == pytest.approx(
         exact.dimensions["accuracy"], abs=0.05
     )
+
+
+def test_decile_edges(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = {q.name: q for q in profiler.profile(df)}["l_extendedprice"]
+    edges = p.stats["decile_edges"]
+    assert len(edges) == 9
+    assert edges == sorted(edges)
+    assert p.stats["min"] <= edges[0] and edges[-1] <= p.stats["max"]
+    assert p.stats["decile_edges_approximate"] is True
+
+
+def test_correlations_single_job(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    corr = profiler.correlations(
+        df, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    assert set(corr) == {
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    }
+    for v in corr.values():
+        assert -1.0 <= v <= 1.0
+    # cross-check one pair against the direct aggregate
+    want = df.agg(
+        F.corr("l_quantity", "l_extendedprice")
+    ).collect()[0][0]
+    assert corr[("l_quantity", "l_extendedprice")] == pytest.approx(want)
