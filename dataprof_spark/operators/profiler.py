@@ -65,9 +65,16 @@ def _is_temporal(dtype: T.DataType) -> bool:
     )
 
 
-def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES) -> list[ColumnProfile]:
+def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
+            use_approx_percentiles: bool = False) -> list[ColumnProfile]:
     """Profile every column of `df` (3 jobs total, independent of
-    column count: wide agg → exact-distinct follow-up → top-k)."""
+    column count: wide agg → exact-distinct follow-up → one melt job
+    for top-k/mode/temporal distributions).
+
+    ``use_approx_percentiles=True`` switches the quartiles to
+    approx_percentile — required at 10^10+ rows where the exact
+    aggregate buffers every value; the stats dict records which tier
+    ran (the reference's exact-vs-approx provenance contract)."""
     fields = df.schema.fields
     aggs: list = [F.count(F.lit(1)).alias("__total")]
     for f_ in fields:
@@ -92,7 +99,10 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES) -> list[ColumnProfi
                 F.skewness(d).alias(f"{n}__skew"),
                 F.kurtosis(d).alias(f"{n}__kurt"),
                 F.expr(
-                    f"percentile({n}, array(0.25, 0.5, 0.75))"
+                    f"approx_percentile({n}, array(0.25, 0.5, 0.75), "
+                    "10000)"
+                    if use_approx_percentiles
+                    else f"percentile({n}, array(0.25, 0.5, 0.75))"
                 ).alias(f"{n}__quartiles"),
                 # equi-depth decile edges (approx — exact buffers all
                 # values; the profiler is a summary, the provenance
@@ -175,6 +185,7 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES) -> list[ColumnProfi
                 "q3": q[2] if q else None,
                 "decile_edges": list(row[f"{n}__deciles"] or []),
                 "decile_edges_approximate": True,
+                "quartiles_approximate": use_approx_percentiles,
                 # CV: None when |mean| < 0.001 (numeric.rs:230-237)
                 "cv": (
                     std / abs(mean) * 100.0
