@@ -53,7 +53,11 @@ def mean_word_length(c: Column) -> Column:
 
 
 # every char the symbol gate does NOT count: letters, digits, ASCII
-# whitespace (the \s set shared by Java/RE2/Python on ASCII text)
+# whitespace (the \s set shared by Java/RE2/Python on ASCII text).
+# Known edge: RE2's \s omits \x0b (vertical tab), so a \v counts as
+# a symbol only in the DuckDB oracle — Spark and the Python labeler
+# (re.ASCII) agree with each other, which is the contract that
+# matters; no fixture emits \v.
 _ALLOWED_CHARS = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
     " \t\n\r\f\x0b"
