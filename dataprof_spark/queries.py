@@ -1193,7 +1193,11 @@ def quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataprof_spark.operators import quality
 
     orders = _t(spark, sf_dir, "orders")
-    rep = quality.assess(orders, key_col="o_orderkey")
+    # full 7-dimension contract: validity is assessed when a dominant
+    # semantic pattern exists; orders' string columns have none, so
+    # the dimension is renormalized away (deterministic — the oracle
+    # denominator matches)
+    rep = quality.assess(orders, key_col="o_orderkey", with_validity=True)
     d = rep.dimensions
     return spark.createDataFrame(
         [
