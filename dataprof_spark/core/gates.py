@@ -26,7 +26,8 @@ from dataprof_spark.core import scrub as _scrub
 from dataprof_spark.core import textsignals as _ts
 
 
-def heuristic_reason(text: str, *, english: bool = True) -> str | None:
+def heuristic_reason(text: str, *, english: bool = True,
+                     signals: dict | None = None) -> str | None:
     """SQL-expressible gate subset (no langid / perplexity).
 
     Returns the first failing reason among garbled_encoding, too_short,
@@ -35,8 +36,9 @@ def heuristic_reason(text: str, *, english: bool = True) -> str | None:
     documents claiming English (Gopher applies English stopwords to an
     English corpus). NULL text is treated as empty (drops as
     too_short) — same normalization as the Spark expressions.
+    ``signals`` lets decide() reuse one computation per document.
     """
-    s = _ts.signals(text or "")
+    s = signals if signals is not None else _ts.signals(text or "")
     if s["mojibake_count"] > 0:
         return "garbled_encoding"
     if s["word_count"] < config.MIN_WORDS:
@@ -58,13 +60,18 @@ def heuristic_reason(text: str, *, english: bool = True) -> str | None:
     return None
 
 
-def full_reason(text: str, claimed_lang: str) -> str | None:
+def full_reason(text: str, claimed_lang: str,
+                signals: dict | None = None,
+                predicted: str | None = None) -> str | None:
     """Full cascade: heuristics, then langid agreement, then perplexity."""
     text = text or ""
-    reason = heuristic_reason(text, english=(claimed_lang == "en"))
+    reason = heuristic_reason(
+        text, english=(claimed_lang == "en"), signals=signals
+    )
     if reason is not None:
         return reason
-    predicted, _ = _langid.predict(text)
+    if predicted is None:
+        predicted, _ = _langid.predict(text)
     if predicted != claimed_lang:
         return "lang_mismatch"
     if _ppl.perplexity(text) > config.MAX_PERPLEXITY:
@@ -78,6 +85,8 @@ def quality_score(
     warc_ts: _dt.datetime | None = None,
     *,
     now_year: int = 2026,
+    signals: dict | None = None,
+    predicted: str | None = None,
 ) -> float:
     """Weighted per-document quality score.
 
@@ -88,7 +97,7 @@ def quality_score(
     is assessed only when warc_ts is present.
     """
     text = text or ""
-    s = _ts.signals(text)
+    s = signals if signals is not None else _ts.signals(text)
     wc = s["word_count"]
     dims: dict[str, float] = {
         "completeness": min(1.0, wc / config.MIN_WORDS),
@@ -97,7 +106,10 @@ def quality_score(
         "accuracy": 1.0
         - min(1.0, s["symbol_ratio"] / config.MAX_SYMBOL_RATIO),
         "validity": (
-            1.0 if _langid.predict(text)[0] == claimed_lang else 0.0
+            1.0
+            if (predicted if predicted is not None
+                else _langid.predict(text)[0]) == claimed_lang
+            else 0.0
         ),
     }
     if warc_ts is not None:
@@ -119,9 +131,15 @@ def decide(
     claimed_lang: str,
     warc_ts: _dt.datetime | None = None,
 ) -> dict[str, Any]:
-    """One decisions-table row (FIXTURES.md A2) for one document."""
+    """One decisions-table row (FIXTURES.md A2) for one document.
+
+    Signals and the langid prediction are computed ONCE and reused by
+    both the gate cascade and the quality score (they are pure; the
+    Spark pipeline already shares them the same way)."""
     text = text or ""
-    reason = full_reason(text, claimed_lang)
+    s = _ts.signals(text)
+    predicted, _ = _langid.predict(text)
+    reason = full_reason(text, claimed_lang, signals=s, predicted=predicted)
     scrubbed, counts = _scrub.scrub_text(text)
     return {
         "url": url,
@@ -129,5 +147,7 @@ def decide(
         "drop_reason": reason,
         "scrubbed_text": scrubbed,
         "scrub_counts": counts,
-        "quality_score": quality_score(text, claimed_lang, warc_ts),
+        "quality_score": quality_score(
+            text, claimed_lang, warc_ts, signals=s, predicted=predicted
+        ),
     }
