@@ -268,3 +268,35 @@ def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """The run_metrics lineage table (FIXTURES.md A3) from manifests."""
     rows = [json.dumps(r) for r in _read_manifests(out_dir)]
     return spark.read.json(spark.sparkContext.parallelize(rows))
+
+
+def compact(
+    spark: SparkSession,
+    out_dir: str,
+    target_records_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction for the decisions table (the Iceberg
+    `rewrite_data_files` twin): rewrite each part_key directory into
+    ceil(rows / target) files, preserving the sort-by-url determinism.
+    Long-running ingest accumulates one file per resume attempt per
+    partition; compaction restores large-scan-friendly file sizes.
+    ONE read + ONE dynamic-overwrite write; manifests are untouched
+    (counts are unchanged by construction). Returns files after."""
+    import glob as _glob
+
+    dest = os.path.join(out_dir, "decisions")
+    df = spark.read.parquet(dest)
+    n_parts = df.select("part_key").distinct().count()
+    rows_total = df.count()
+    per_part = max(1, rows_total // max(1, n_parts))
+    files_per_part = max(1, -(-per_part // target_records_per_file))
+    (
+        df.repartition(n_parts * files_per_part, "part_key")
+        .sortWithinPartitions("part_key", "url")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .partitionBy("part_key")
+        .parquet(dest)
+    )
+    return len(_glob.glob(os.path.join(dest, "part_key=*", "*.parquet")))
