@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--buckets", type=int, default=64)
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
+    parser.add_argument(
+        "--compact", action="store_true",
+        help="after processing, rewrite partition dirs into "
+             "size-targeted files (checkpoint.compact)",
+    )
+    parser.add_argument(
+        "--target-records-per-file", type=int, default=1_000_000,
+    )
     args = parser.parse_args(argv)
 
     if args.make_zip:
@@ -83,6 +91,10 @@ def main(argv: list[str] | None = None) -> int:
         "docs_out": sum(r["docs_out"] for r in rows),
         "output": args.output,
     }
+    if args.compact:
+        summary["files_after_compaction"] = checkpoint.compact(
+            spark, args.output, args.target_records_per_file
+        )
     print(json.dumps(summary))
     if existing is None:
         spark.stop()
