@@ -64,6 +64,7 @@ def assess(df: DataFrame, key_col: str | None = None,
            now: _dt.datetime | None = None,
            with_validity: bool = False,
            use_approx_percentiles: bool = False,
+           use_approx_distinct: bool = False,
            positive_columns: list[str] | None = None) -> QualityReport:
     """Compute ALL assessable dimensions (the reference's full
     7-dimension contract, quality.rs:135-161 + 340-411): completeness,
@@ -76,8 +77,11 @@ def assess(df: DataFrame, key_col: str | None = None,
     Scans: one wide agg + one fence agg + one melt agg for precision —
     constant in column count. ``use_approx_percentiles=True`` switches
     the IQR fences to approx_percentile (needed at 10^11 rows; exact
-    percentile buffers per group) and records confidence="approx" —
-    the reference's own exact-vs-approx provenance contract.
+    percentile buffers per group); ``use_approx_distinct=True``
+    switches the row/key distinct counts to HLL (exact countDistinct
+    expands every row into the shuffle at 10^11 rows). Either flag
+    records confidence="approx" — the reference's own exact-vs-approx
+    provenance contract.
     """
     now = now or _dt.datetime(2026, 1, 1)
     fields_ = df.schema.fields
@@ -101,13 +105,18 @@ def assess(df: DataFrame, key_col: str | None = None,
     # uniqueness: row duplicates via 64-bit hash of all columns (A11;
     # xxhash64 not 32-bit hash() — at 10^7+ rows 32-bit birthday
     # collisions would inflate the duplicate count)
+    _distinct = (
+        (lambda c: F.approx_count_distinct(c, rsd=0.008))
+        if use_approx_distinct
+        else F.countDistinct
+    )
     aggs.append(
-        F.countDistinct(
+        _distinct(
             F.xxhash64(*[F.col(f_.name) for f_ in fields_])
         ).alias("__distinct_rows")
     )
     if key_col:
-        aggs.append(F.countDistinct(F.col(key_col)).alias("__key_distinct"))
+        aggs.append(_distinct(F.col(key_col)).alias("__key_distinct"))
         aggs.append(
             F.sum(F.col(key_col).isNotNull().cast("long")).alias("__key_nn")
         )
@@ -392,7 +401,7 @@ def assess(df: DataFrame, key_col: str | None = None,
                     "patterns": {n: d["name"] for n, d in doms.items()},
                 }
 
-    if use_approx_percentiles:
+    if use_approx_percentiles or use_approx_distinct:
         report.confidence = "approx"
 
     # ---- timeliness

@@ -477,6 +477,163 @@ ORDER BY p_partkey, s_name LIMIT 200
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20% of their
+    part's average quantity — a correlated scalar subquery Spark
+    decorrelates into an aggregate + join (per-part avg is tiny →
+    broadcast back against the fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand_parts = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    fact = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = fact.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        fact.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            R6(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+      AND l2.l_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_brand = 'Brand#1')
+  )
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under DISJUNCTIVE brand/size/quantity
+    predicates — exercises OR-of-ANDs predicate handling (Catalyst
+    extracts the common l_partkey join key and pushes the common
+    quantity bounds to the scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & (q >= 5) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & (q >= 10) & (q <= 40))
+    )
+    return j.filter(cond).agg(
+        R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20
+       AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30
+       AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO orders,
+    bucketed by nation — scalar avg subquery + anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    idle = rich.join(
+        o.select("o_custkey").distinct(),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            R6(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+       round(sum(c_acctbal), 6) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the MAXIMUM quarterly revenue
+    — the view + scalar-max pattern, decorrelated to a window max."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("total_revenue")
+        )
+    )
+    best = rev.withColumn(
+        "mx", F.max("total_revenue").over(W.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("mx"))
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 def topk_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N frequency truncation (reference A16: N=10, ties by value)."""
     from pyspark.sql import Window as W
@@ -1755,6 +1912,12 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "q18_large_orders": (q18_large_orders, Q18_SQL),
         "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
         "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+        "q17_small_quantity_revenue": (
+            q17_small_quantity_revenue, Q17_SQL,
+        ),
+        "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+        "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+        "q15_top_supplier": (q15_top_supplier, Q15_SQL),
         "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
         "moments_quantity": (moments_quantity, MOMENTS_SQL),
         "timeliness_orders": (timeliness_orders, TIMELINESS_SQL),

@@ -253,3 +253,16 @@ def test_correlations_single_job(spark):
         F.corr("l_quantity", "l_extendedprice")
     ).collect()[0][0]
     assert corr[("l_quantity", "l_extendedprice")] == pytest.approx(want)
+
+
+def test_quality_approx_distinct_provenance(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact = quality.assess(df, key_col="o_orderkey")
+    approx = quality.assess(
+        df, key_col="o_orderkey", use_approx_distinct=True
+    )
+    assert approx.confidence == "approx"
+    # HLL rsd 0.008 → within ~3% of the exact key uniqueness
+    assert approx.details["uniqueness"]["key_uniqueness"] == pytest.approx(
+        exact.details["uniqueness"]["key_uniqueness"], rel=0.03
+    )
