@@ -227,9 +227,15 @@ def run_executor_scaling() -> dict:
         for i, cores in enumerate(core_sets)
     ]
     pairs = []
-    for _ in range(n_trials):
-        w1, r1, s1 = run_phase(spec_1)
-        w4, r4, s4 = run_phase(spec_4)
+    for t in range(n_trials):
+        # alternate phase order per trial: monotone host drift within
+        # a trial would otherwise bias every pair the same direction
+        if t % 2 == 0:
+            w1, r1, s1 = run_phase(spec_1)
+            w4, r4, s4 = run_phase(spec_4)
+        else:
+            w4, r4, s4 = run_phase(spec_4)
+            w1, r1, s1 = run_phase(spec_1)
         pairs.append((w1, w4, r1, r4, s1, s4))
     # PRE-DECLARED interference filter: a pair where either measured
     # window saw ≥2% hypervisor steal (from /proc/stat, recorded
