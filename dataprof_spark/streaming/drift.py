@@ -177,3 +177,31 @@ def monitor(stream: DataFrame, tracker: SchemaStabilityTracker,
     for k, v in writer_kwargs.items():
         writer = writer.option(k, v)
     return writer.start()
+
+
+def run_until_stable(
+    stream: DataFrame,
+    tracker: SchemaStabilityTracker,
+    poll_seconds: float = 0.5,
+    timeout_seconds: float = 120.0,
+    **writer_kwargs,
+) -> bool:
+    """SchemaStable STOP CONDITION (stop_condition.rs:21-51): keep
+    consuming micro-batches until the inferred schema has been stable
+    for `tracker.threshold` consecutive rows, then stop the query —
+    the reference's 'enough profiling' early exit, recast for
+    streams. Returns whether stability was reached (False = the
+    timeout elapsed first; the query is stopped either way)."""
+    import time as _time
+
+    q = monitor(stream, tracker, **writer_kwargs)
+    deadline = _time.time() + timeout_seconds
+    try:
+        while _time.time() < deadline and q.isActive:
+            if tracker.stable:
+                break
+            _time.sleep(poll_seconds)
+    finally:
+        if q.isActive:
+            q.stop()
+    return tracker.stable

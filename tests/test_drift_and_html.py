@@ -111,3 +111,27 @@ def test_html_export_and_save_dispatch(spark, tmp_path):
     assert open(p_html).read().startswith("<div")
     assert open(p_md).read().startswith("# Profile")
     assert report.ProfileReport.load(p_json).source == "orders"
+
+
+def test_run_until_stable_stop_condition(spark, tmp_path):
+    """SchemaStable stop condition: the query stops once the schema
+    held for `threshold` consecutive rows."""
+    src = tmp_path / "stable_src"
+    src.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            [(str(j),) for j in range(i * 10, i * 10 + 10)], "v string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    tracker = drift.SchemaStabilityTracker(threshold=15)
+    stable = drift.run_until_stable(
+        stream, tracker, timeout_seconds=90,
+        checkpointLocation=str(tmp_path / "stable_ckpt"),
+    )
+    assert stable
+    assert tracker.consecutive_stable >= 15
+    assert tracker.truncation_reason() == "schema_stable(15)"
