@@ -477,6 +477,119 @@ ORDER BY p_partkey, s_name LIMIT 200
 """
 
 
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in BATCH (lag + running sum of
+    session-break flags) — the SQL-expressible twin of the stateful
+    streaming operator (streaming/sessionize.py, 30-min gap), which
+    gives the sessionization SEMANTICS a DuckDB oracle instead of
+    pytest-only coverage. One shuffle on user_id; both window
+    functions share the exchange."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = 1800
+    # TIMESTAMP_NTZ → epoch seconds: cast through TIMESTAMP (session
+    # tz is UTC) — matches DuckDB epoch() on the same values
+    sec = F.col("ts").cast("timestamp").cast("long")
+    brk = (sec - F.lag(sec).over(w) > gap).cast("long")
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(F.coalesce(brk, F.lit(0))).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            R6(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS, adapted to this fixture's
+    columns): suppliers with a returned line on a multi-supplier order
+    where NO OTHER supplier's line on that order was returned —
+    expressed as aggregate flags per (order, supplier) + an order-level
+    window, the native decorrelation of the double-EXISTS."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = per.withColumns(
+        {
+            "n_supp": F.count(F.lit(1)).over(w),
+            "n_ret_supp": F.sum("ret").over(w),
+        }
+    )
+    culprits = flagged.filter(
+        (F.col("ret") == 1)
+        & (F.col("n_supp") > 1)        # EXISTS another supplier
+        & (F.col("n_ret_supp") == 1)   # NOT EXISTS another returned one
+    )
+    return (
+        culprits.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(50)
+    )
+
+
+Q21_SQL = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), flagged AS (
+  SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         sum(ret) OVER (PARTITION BY l_orderkey) AS n_ret_supp
+  FROM per
+)
+SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE ret = 1 AND n_supp > 1 AND n_ret_supp = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey LIMIT 50
+"""
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems below 20% of their
     part's average quantity — a correlated scalar subquery Spark
@@ -1918,6 +2031,12 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
         "q22_idle_customers": (q22_idle_customers, Q22_SQL),
         "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+        "q21_sole_return_supplier": (
+            q21_sole_return_supplier, Q21_SQL,
+        ),
+        "sessionize_events_batch": (
+            sessionize_events_batch, SESSIONIZE_SQL,
+        ),
         "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
         "moments_quantity": (moments_quantity, MOMENTS_SQL),
         "timeliness_orders": (timeliness_orders, TIMELINESS_SQL),
