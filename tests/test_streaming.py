@@ -181,3 +181,72 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.table("deduped_stream").collect()
     ids = sorted(r["event_id"] for r in got)
     assert ids == [1, 2, 3]  # the re-arrived event_id=1 was dropped
+
+
+def test_sessionize_stream_batch_parity(spark, tmp_path):
+    """Every session the stateful streaming operator CLOSES must match
+    a session in the batch lag/cumsum twin on the same events — the
+    stream==batch parity oracle for the custom stateful op."""
+    import datetime as dt
+
+    from dataprof_spark import queries as q
+    from dataprof_spark.streaming import sessionize as ss
+
+    base = dt.datetime(2026, 1, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = base
+        for s in range(3):              # 3 sessions per user
+            for i in range(4):          # 4 events each, 5 min apart
+                rows.append((eid, t, user, "click", float(user * 100 + s * 10 + i), "{}"))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(hours=2)  # gap closes the session
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = tmp_path / "parity_src"
+    df.write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(str(src))
+    qy = (
+        ss.sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("parity_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.table("parity_sessions").collect()
+    }
+    df.createOrReplaceTempView("events")
+    batch = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in q.sessionize_events_batch(
+            spark, str(tmp_path)
+        ).collect()
+    } if False else {
+        (r["user_id"], r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(q.SESSIONIZE_SQL.replace(
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S')",
+            "date_format(min(ts), 'yyyy-MM-dd HH:mm:ss')"
+        ).replace(
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S')",
+            "date_format(max(ts), 'yyyy-MM-dd HH:mm:ss')"
+        ).replace("epoch(ts)", "unix_timestamp(ts)")
+        .replace("::BIGINT", "")).collect()
+    }
+    # streaming closes the first 2 sessions per user within the batch
+    # (the last stays open in state); every closed one matches batch
+    assert streamed, "streaming emitted no closed sessions"
+    assert streamed <= batch
+    assert len(streamed) >= 6
