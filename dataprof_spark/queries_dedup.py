@@ -315,12 +315,62 @@ ORDER BY query_id, rank
 """
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (operators/similarity.lsh_topk)
+    with the bucket assignment itself oracle-verified: the DuckDB twin
+    inlines the SAME seeded hyperplanes as SQL literals, reproduces the
+    sign-bit buckets, the bucket join, and the final window top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        emb, queries, k=5, n_planes=6, dim=64
+    ).orderBy("query_id", "rank")
+
+
+def _ddb_lsh_topk_sql(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    planes = similarity.hyperplanes(dim, n_planes)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         ({bucket_terms})::BIGINT AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, vec AS q_vec, bucket FROM b
+  WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec))
+                     * sqrt(list_dot_product(c.vec, c.vec)) > 0
+           THEN list_dot_product(q.q_vec, c.vec)
+                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                   * sqrt(list_dot_product(c.vec, c.vec)))
+           ELSE 0.0 END, 6) AS cos_sim
+  FROM q JOIN b c USING (bucket)
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def registry():
     return {
         "minhash_per_doc": (minhash_per_doc, _ddb_minhash_sql()),
         "near_dup_pairs": (near_dup_pairs, _ddb_near_dup_sql()),
         "ann_topk": (ann_topk, ANN_SQL),
         "ann_ivf_topk": (ann_ivf_topk, _ddb_ivf_sql()),
+        "ann_lsh_topk": (ann_lsh_topk, _ddb_lsh_topk_sql()),
         "embedding_near_dups": (
             embedding_near_dups, _ddb_embedding_near_dup_sql(),
         ),
