@@ -72,8 +72,18 @@ def evaluate(
     negatives = {
         c: by_col[c] for c in (positive_columns or []) if by_col.get(c)
     }
-    checks["no_negatives"] = not negatives
+    # assess() only adds __neg aggs for NUMERIC columns — a requested
+    # positive_column of string type would otherwise silently pass the
+    # gate (ADVICE r2). Fail the check when one wasn't accounted for.
+    checked = rep.details.get("accuracy", {}).get(
+        "negatives_checked_columns", []
+    )
+    unchecked = [
+        c for c in (positive_columns or []) if c not in checked
+    ]
+    checks["no_negatives"] = not negatives and not unchecked
     evidence["negatives"] = negatives
+    evidence["positive_columns_not_numeric"] = unchecked
 
     return GateResult(
         accepted=all(checks.values()), checks=checks, evidence=evidence

@@ -322,6 +322,13 @@ def assess(df: DataFrame, key_col: str | None = None,
                 for n in num_cols
                 if row.get(f"{n}__neg")
             },
+            # which columns actually carried a __neg agg — a requested
+            # positive_column that is NOT here (e.g. string-typed) was
+            # never checked, and callers (etl_gate) must not treat its
+            # absence from negatives_by_column as "no negatives"
+            "negatives_checked_columns": [
+                n for n in num_cols if f"{n}__neg" in row
+            ],
         }
 
     # ---- precision: modal effective decimal scale per float column

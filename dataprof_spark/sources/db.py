@@ -29,12 +29,29 @@ import re
 from dataclasses import dataclass, field
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
-_DANGEROUS = (
-    "DROP", "DELETE", "INSERT", "UPDATE", "TRUNCATE", "ALTER", "CREATE",
-    "GRANT", "REVOKE", "EXEC", "EXECUTE", "UNION", "--", "/*",
-    "INFORMATION_SCHEMA", "XP_CMDSHELL", "WAITFOR", "SLEEP",
-    "LOAD_FILE", "ATTACH", ";",
+# Keywords are matched on WORD BOUNDARIES, not substrings: the
+# reference's substring scan (sql_validation.rs) rejects conventional
+# identifiers — created_at contains CREATE, updated_at contains UPDATE
+# — which are exactly the columns the temporal strategy targets
+# (dates.DATE_NAME_HINTS). `\b` treats `_` as a word char, so
+# \bCREATE\b does not fire inside CREATED_AT but still fires on
+# `schema.drop` (dot is a boundary). Symbol patterns stay substring.
+_DANGEROUS_WORDS_RE = re.compile(
+    r"\b(DROP|DELETE|INSERT|UPDATE|TRUNCATE|ALTER|CREATE|GRANT|REVOKE"
+    r"|EXEC|EXECUTE|UNION|INFORMATION_SCHEMA|XP_CMDSHELL|WAITFOR|SLEEP"
+    r"|LOAD_FILE|ATTACH)\b"
 )
+_DANGEROUS_SYMBOLS = ("--", "/*", ";")
+
+
+def _scan_dangerous(upper: str) -> str | None:
+    m = _DANGEROUS_WORDS_RE.search(upper)
+    if m:
+        return m.group(1)
+    for sym in _DANGEROUS_SYMBOLS:
+        if sym in upper:
+            return sym
+    return None
 
 
 class SqlValidationError(ValueError):
@@ -66,12 +83,11 @@ def validate_identifier(identifier: str) -> str:
             f"Invalid SQL identifier {identifier!r}: only alphanumeric, "
             "underscore, and dot allowed"
         )
-    upper = ident.upper()
-    for kw in _DANGEROUS:
-        if kw in upper:
-            raise SqlValidationError(
-                f"SQL identifier contains dangerous keyword: {kw}"
-            )
+    kw = _scan_dangerous(ident.upper())
+    if kw:
+        raise SqlValidationError(
+            f"SQL identifier contains dangerous keyword: {kw}"
+        )
     return ident
 
 
@@ -87,11 +103,11 @@ def validate_base_query(query: str) -> str:
         raise SqlValidationError(
             "Only SELECT queries are allowed for sampling"
         )
-    for kw in _DANGEROUS:
-        if kw in upper:
-            raise SqlValidationError(
-                f"Query contains dangerous SQL pattern: {kw}"
-            )
+    kw = _scan_dangerous(upper)
+    if kw:
+        raise SqlValidationError(
+            f"Query contains dangerous SQL pattern: {kw}"
+        )
     return q
 
 
@@ -149,7 +165,12 @@ class SamplingConfig:
                     f"SELECT * FROM {src} ORDER BY RANDOM({seed}) "
                     f"LIMIT {self.sample_size}"
                 )
+            # floor the percentage at 0.01: ":.2f" formatting rounds
+            # tiny fractions (10k rows of 10^9+) to 0.00, sampling
+            # nothing at exactly the scale this pushdown targets — the
+            # LIMIT stays the authoritative size bound
             pct = min(100.0, self.sample_size / total_rows * 100.0)
+            pct = max(pct, 0.01)
             return (
                 f"SELECT * FROM {src} TABLESAMPLE SYSTEM ({pct:.2f}) "
                 f"LIMIT {self.sample_size}"

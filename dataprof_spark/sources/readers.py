@@ -138,9 +138,19 @@ def read_jsonl(
         # total, evaluated lazily on first access.
         mode = "DROPMALFORMED"
         df = spark.read.option("mode", mode).json(path)
-        raw = spark.read.option("mode", "PERMISSIVE").json(path)
         clean = df
-        counter = lambda: raw.count() - clean.count()  # noqa: E731
+
+        # the PERMISSIVE re-read is built INSIDE the counter so that a
+        # caller who never asks for corrupt_count pays no second job —
+        # and it reuses the clean read's (already inferred) schema, so
+        # even the first access skips a schema-inference scan
+        def counter(_spark=spark, _clean=clean, _path=path) -> int:
+            raw = (
+                _spark.read.schema(_clean.schema)
+                .option("mode", "PERMISSIVE")
+                .json(_path)
+            )
+            return raw.count() - _clean.count()
     if max_rows:
         df = df.limit(max_rows)
     return ReadResult(df, {"mode": mode}, _corrupt_counter=counter)

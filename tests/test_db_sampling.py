@@ -22,6 +22,31 @@ def test_identifier_validation():
             db.validate_identifier(bad)
 
 
+def test_conventional_identifiers_not_rejected():
+    """Keyword matching is word-boundary, not substring: created_at
+    contains CREATE and updated_at contains UPDATE, yet they are the
+    canonical temporal-strategy target columns (ADVICE r2)."""
+    for ident in ("created_at", "updated_at", "creation_ts",
+                  "executor_id", "unions.member"):
+        assert db.validate_identifier(ident) == ident
+    # whole-word keywords still refused, including dotted parts
+    for bad in ("drop", "schema.drop", "update"):
+        with pytest.raises(db.SqlValidationError):
+            db.validate_identifier(bad)
+    # base queries referencing such columns pass too
+    q = "SELECT created_at, updated_at FROM t WHERE created_at > '2020'"
+    assert db.validate_base_query(q) == q
+
+
+def test_tablesample_pct_floor():
+    """{:.2f} formatting must not floor the percentage to 0.00 when
+    sample_size/total_rows < 0.005% (10k rows of 10^9) — the LIMIT
+    stays the authoritative size bound (ADVICE r2)."""
+    cfg = db.SamplingConfig(strategy="reservoir", sample_size=10_000)
+    q = cfg.generate_sample_query("events", 10_000_000_000)
+    assert "TABLESAMPLE SYSTEM (0.01)" in q and "LIMIT 10000" in q
+
+
 def test_base_query_validation():
     assert db.validate_base_query("SELECT a FROM t").startswith("SELECT")
     for bad in (

@@ -55,6 +55,25 @@ def test_negative_amount_rejected(spark):
     assert res.evidence["negatives"] == {"amount_eur": 1}
 
 
+def test_non_numeric_positive_column_rejected(spark):
+    """A positive_column stored as STRING gets no __neg agg inside
+    assess() — the gate must flag it as unchecked rather than let it
+    silently pass (ADVICE r2)."""
+    res = etl_gate.evaluate(
+        _df(spark, GOOD), key_col="transaction_id",
+        positive_columns=["account"],  # string-typed
+    )
+    assert not res.checks["no_negatives"]
+    assert res.evidence["positive_columns_not_numeric"] == ["account"]
+    # while a clean NUMERIC positive column still passes
+    ok = etl_gate.evaluate(
+        _df(spark, GOOD), key_col="transaction_id",
+        positive_columns=["amount_eur"],
+    )
+    assert ok.checks["no_negatives"]
+    assert ok.evidence["positive_columns_not_numeric"] == []
+
+
 def test_missing_column_rejected(spark):
     res = etl_gate.evaluate(
         _df(spark, GOOD), key_col="transaction_id",

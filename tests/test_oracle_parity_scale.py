@@ -1,8 +1,14 @@
-"""Mimics the driver's correctness gate: every registry query runs in
-Spark AND its DuckDB oracle on sf0.01; row-count and order-insensitive
-values must match exactly (floats pre-rounded to 6dp on both sides)."""
+"""Replicates the driver's correctness gate at ITS scale (sf0.1) for
+every query whose output contains a sum/avg over doubles — the class
+that produced round 2's only red row (sessionize_events_batch: a
+float-summation last-digit flip that only appears at sf0.1, never at
+sf0.01). After the DECIMAL(27,6) hardening these must hash-match at
+any scale; this test pins that at the driver's own scale factor.
+"""
 
 from __future__ import annotations
+
+import os
 
 import duckdb
 import pandas as pd
@@ -10,11 +16,35 @@ import pytest
 
 from dataprof_spark import queries
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = "/root/testdata/sf0.1"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+# every registry query carrying an order-sensitive double aggregate
+FLOAT_SUM_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "sessionize_events_batch",
+    "events_hourly",
+    "rollup_order_totals",
+    "window_supplier_running",
+    # retired from the driver window but still shipped:
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q22_idle_customers",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="sf0.1 fixtures not generated"
+)
 
 
 @pytest.fixture(scope="module")
@@ -44,12 +74,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(queries.full_registry()))
-def test_query_matches_oracle(spark, ddb, name):
+@pytest.mark.parametrize("name", FLOAT_SUM_QUERIES)
+def test_float_sum_query_matches_oracle_at_driver_sf(spark, ddb, name):
     fn, sql = queries.full_registry()[name]
-    if sql is None:
-        pytest.skip("non-SQL-expressible; rows-only check")
     got = _normalize(fn(spark, SF_DIR).toPandas())
     want = _normalize(ddb.execute(sql).df())
     assert len(got) == len(want), (name, len(got), len(want))
+    # exact equality post-round: this IS the driver's hash criterion
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
