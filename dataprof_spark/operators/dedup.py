@@ -38,6 +38,21 @@ N_BANDS_DEFAULT = 4  # 4 rows/band at 16 perms
 SHINGLE_K = 3  # word 3-grams
 
 
+def bands_for_threshold(n_perm: int, threshold: float) -> int:
+    """Banding knob derived from the TARGET Jaccard threshold instead
+    of fixture-tuned constants (round-2 verdict): with b bands of
+    r = n_perm/b rows, the LSH s-curve midpoint sits at
+    t ≈ (1/b)^(1/r). Pick the divisor b of n_perm whose midpoint is
+    closest to the requested threshold — more bands (higher recall,
+    more candidates) for low thresholds, fewer for high ones. The
+    candidate-volume consequence is the caller's lever via n_perm."""
+    divisors = [b for b in range(1, n_perm + 1) if n_perm % b == 0]
+    return min(
+        divisors,
+        key=lambda b: abs((1.0 / b) ** (b / n_perm) - threshold),
+    )
+
+
 def _hash_family(n: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs — small fixed LCG, seed 42."""
     pairs, x = [], 42
@@ -195,9 +210,16 @@ def near_dup_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    n_perm: int = N_PERM_DEFAULT,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
-    pairs = lsh_candidate_pairs(df, id_col, text_col)
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+    n_bands=None derives the banding from the requested threshold
+    (bands_for_threshold) so the LSH s-curve midpoint tracks the
+    verify threshold instead of a fixture constant."""
+    if n_bands is None:
+        n_bands = bands_for_threshold(n_perm, threshold)
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n_perm, n_bands)
     return ngram_jaccard_pairs(df, pairs, id_col, text_col, threshold)
 
 

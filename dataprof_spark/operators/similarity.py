@@ -16,6 +16,8 @@ codegen'd, no Python); norms are precomputed once per row.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -91,6 +93,34 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = config.SEED):
     return rng.standard_normal((n_planes, dim))
 
 
+# ------------------------------------------------- scale-derived knobs
+# Round-2 verdict: the fixture-tuned constants (n_planes=6-8,
+# n_cells=16) are wrong at 100 TB — expected bucket/cell population
+# must stay roughly constant as the corpus grows, so the knobs derive
+# from N. Callers pass n_planes/n_cells=None to opt in (one count()
+# job); the registry queries keep explicit constants so their oracle
+# SQL strings stay static.
+
+def auto_n_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Planes so that E[bucket size] ≈ target_bucket: 2^p ≈ N/target.
+    Clamped to [4, 24] — beyond 24 planes the sign-bit buckets get
+    sparser than the bands are informative (and 2^24 bucket ids cover
+    10^9 docs/bucket-target already at 10^12 rows)."""
+    if n_rows <= 0:
+        return 4
+    p = math.ceil(math.log2(max(1.0, n_rows / max(1, target_bucket))))
+    return max(4, min(24, p))
+
+
+def auto_n_cells(n_rows: int) -> int:
+    """IVF √N rule (balances cell count against per-cell scan cost);
+    clamped to [4, 65536] — 65536 centroids is the practical ceiling
+    for a driver-broadcast coarse quantizer."""
+    if n_rows <= 0:
+        return 4
+    return max(4, min(65536, int(math.isqrt(n_rows))))
+
+
 def _bucket(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit bucket id under the hyperplane family (native dot)."""
     bits = []
@@ -114,13 +144,17 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows in the query's LSH
     bucket. With 8 planes the corpus splits into 256 buckets — the
     scan per query drops ~256× at some recall cost (report both in
-    tests)."""
+    tests). n_planes=None derives the plane count from the corpus
+    size (auto_n_planes: E[bucket] ≈ 64 rows) at the cost of one
+    count() job."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
     planes = hyperplanes(dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -154,17 +188,52 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
+    max_bucket_size: int | None = None,
+    refine_planes: int = 8,
 ) -> DataFrame:
     """Self near-dup pairs at cosine ≥ threshold, LSH-bucketed
-    (embedding-cosine dedup for training corpora)."""
+    (embedding-cosine dedup for training corpora).
+
+    n_planes=None derives the plane count from the corpus size
+    (auto_n_planes — one count() job).
+
+    The within-bucket self-join is quadratic in bucket population, so
+    one boilerplate-heavy bucket (near-identical template pages all
+    hashing together) can dominate the whole job at web scale.
+    max_bucket_size adds a skew guard: buckets above the cap are
+    deterministically SUB-BUCKETED with `refine_planes` extra
+    hyperplanes (seed offset +1), splitting the hot bucket up to
+    2^refine_planes ways — the same accuracy/recall trade as more
+    global planes, but paid only where the skew is. Pairs split
+    across sub-buckets are the recall cost; near-identical vectors
+    land on the same side of most hyperplanes, so true near-dups
+    mostly survive (pinned by test)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     planes = hyperplanes(dim, n_planes)
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        sub = hyperplanes(dim, refine_planes, seed=config.SEED + 1)
+        n_in_bucket = F.count(F.lit(1)).over(W.partitionBy("bucket"))
+        v = v.withColumn(
+            "bucket",
+            F.when(
+                n_in_bucket > max_bucket_size,
+                # refined ids live past the plain id space [0, 2^p):
+                # 2^p + parent*2^r + sub — provably disjoint from
+                # every un-refined bucket id
+                F.lit(1 << n_planes).cast("long")
+                + F.col("bucket")
+                * F.lit(1 << refine_planes).cast("long")
+                + _bucket(F.col("vec"), sub),
+            ).otherwise(F.col("bucket")),
+        )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(
@@ -232,7 +301,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -242,7 +311,12 @@ def ivf_topk(
     nearest coarse cell ONCE in the scan projection; each query probes
     its n_probe nearest cells. The scan per query drops ~n_cells/
     n_probe×; the probe join is a broadcast on the tiny query side —
-    no corpus shuffle at any point (the cell column rides the scan)."""
+    no corpus shuffle at any point (the cell column rides the scan).
+    n_cells=None derives √N cells from the corpus size (auto_n_cells
+    — one count() job; the centroid collect stays driver-safe via the
+    65536 clamp)."""
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus.count())
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

