@@ -83,6 +83,58 @@ def run_headline() -> dict:
     return result
 
 
+def ensure_sf1(base_sf: str = "/root/testdata/sf0.1") -> str:
+    """Deterministic sf1-scale fixture: 10 key-offset replicas of the
+    sf0.1 tables (dims nation/region kept as-is), written once to the
+    gitignored bench cache. Keys are offset by replica*10^9 so join
+    relationships survive replication; text/payload columns repeat,
+    which is fine for throughput benchmarking (and realistic for
+    dedup: web corpora are full of exact repeats)."""
+    from pyspark.sql import functions as F
+
+    from dataprof_spark.session import get_spark
+
+    dest = os.path.join(BENCH_CACHE, "sf1")
+    marker = os.path.join(dest, "_DONE")
+    if os.path.exists(marker):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    spark = get_spark(app_name="make_sf1", master=f"local[{CPUS}]")
+    OFF = 10 ** 9
+    key_cols = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+        "supplier": [],   # suppliers are shared dims in the fixture
+        "part": [],
+        "documents": ["doc_id"],
+        "events": ["event_id", "user_id"],
+        "embeddings": ["vec_id"],
+        "nation": None,   # constants: copy once
+        "region": None,
+    }
+    for table, keys in key_cols.items():
+        src = spark.read.parquet(f"{base_sf}/{table}.parquet")
+        if keys is None or not keys:
+            out = src
+        else:
+            parts = []
+            for i in range(10):
+                rep = src
+                for k in keys:
+                    rep = rep.withColumn(k, F.col(k) + F.lit(i * OFF))
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{table}.parquet")
+        )
+    spark.stop()
+    open(marker, "w").close()
+    return dest
+
+
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "80000"))
 BENCH_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache")
 BENCH_FILES = 64  # parquet files → natural input-split parallelism
@@ -548,8 +600,49 @@ def run_pipeline_once() -> dict:
     }
 
 
+def run_sf1() -> dict:
+    """Headline bench at sf1 (10× the per-round sf0.1 scale): verifies
+    the plans survive a 10× scale-up — exact percentile() paths stay
+    viable, docs/sec holds — and exercises the approx-percentile tier
+    on the big table with its provenance flag (VERDICT r2 #9)."""
+    global SF_DIR
+    sf1_dir = ensure_sf1()
+    old = SF_DIR
+    SF_DIR = sf1_dir
+    try:
+        result = run_headline()
+        result["metric"] = "headline_queries_total_sf1"
+        result["sf"] = 1
+        # approx-percentile tier at scale: assess() on the 6M-row
+        # lineitem with use_approx_percentiles=True must set the
+        # provenance flag (the exact tier is the default and is
+        # covered by the headline run's outlier query)
+        from dataprof_spark.operators import profiler
+        from dataprof_spark.session import get_spark
+
+        spark = get_spark(app_name="bench_sf1_approx",
+                          master=f"local[{CPUS}]")
+        t0 = time.perf_counter()
+        profs = profiler.profile(
+            spark.read.parquet(f"{sf1_dir}/lineitem.parquet"),
+            use_approx_percentiles=True,
+        )
+        result["profile_lineitem_approx_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        result["approx_provenance_flagged"] = any(
+            p.stats.get("quartiles_approximate") for p in profs
+        )
+        spark.stop()
+    finally:
+        SF_DIR = old
+    return result
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--sf1" in sys.argv:
+        print(json.dumps(run_sf1()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--pipeline-once" in sys.argv:
         print(json.dumps(run_pipeline_once()))

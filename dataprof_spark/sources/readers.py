@@ -75,12 +75,47 @@ class ReadResult:
         return self._corrupt_count
 
 
+def detect_encoding(path: str, probe_bytes: int = 256 * 1024) -> str:
+    """Read-time encoding autodetect (reference robust_csv.rs:100-608
+    probes encodings before parsing; previously this repo only
+    diagnosed mojibake as a CONTENT signal after a lossy decode).
+
+    Policy: BOMs win (UTF-8-sig / UTF-16 LE/BE / UTF-32), then a
+    strict UTF-8 validity probe over the head sample, then the
+    ISO-8859-1 fallback (decodes any byte sequence; the mojibake
+    content detector downstream flags the cases where that guess was
+    wrong). Returned names are Spark CSV `encoding` option values."""
+    with open(path, "rb") as f:
+        head = f.read(probe_bytes)
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "UTF-8"  # Spark strips the BOM with multiLine=false
+    if head.startswith(b"\xff\xfe\x00\x00") or head.startswith(
+        b"\x00\x00\xfe\xff"
+    ):
+        return "UTF-32"
+    if head.startswith(b"\xff\xfe"):
+        return "UTF-16LE"
+    if head.startswith(b"\xfe\xff"):
+        return "UTF-16BE"
+    # a multi-byte sequence cut at the PROBE boundary must not fail
+    # the probe — but only when the file actually extends past it
+    # (a real decode error at EOF of a complete file is a real error)
+    trims = range(4) if len(head) == probe_bytes else (0,)
+    for trim in trims:
+        try:
+            head[: len(head) - trim].decode("utf-8")
+            return "UTF-8"
+        except UnicodeDecodeError:
+            continue
+    return "ISO-8859-1"
+
+
 def read_csv_robust(
     spark: SparkSession,
     path: str,
     delimiter: str | None = None,
     strict: bool = False,
-    encoding: str = "UTF-8",
+    encoding: str | None = "UTF-8",
     max_rows: int | None = None,
 ) -> ReadResult:
     """CSV with autodetected delimiter and recovery accounting.
@@ -88,7 +123,10 @@ def read_csv_robust(
     strict=False → PERMISSIVE (ragged/bad rows land in the corrupt
     column and are counted then dropped — the reference's Skip policy);
     strict=True → FAILFAST (the Strict policy: first bad row aborts).
+    encoding=None → autodetect (detect_encoding).
     """
+    if encoding is None:
+        encoding = detect_encoding(path)
     sep = delimiter or detect_delimiter(path)
     opts = {
         "header": "true",
