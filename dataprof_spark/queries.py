@@ -43,37 +43,62 @@ R6 = lambda c: F.round(c, 6)  # noqa: E731
 # Float `+` is not associative: at a larger scale factor a different
 # partition/accumulation order can flip the 6th decimal of a double
 # sum — and with it the whole oracle hash (surfaced at the driver's
-# sf0.1 on sessionize_events_batch in round 2). Hardening: accumulate
-# in exact DECIMAL(27,6) on BOTH engines (decimal addition is
-# order-insensitive at the compared precision), then hand back a
-# double. The one remaining cross-engine freedom is the double→decimal
-# cast of each input value, which is per-row and deterministic.
-_DEC = "decimal(27,6)"
+# sf0.1 on sessionize_events_batch in round 2). Hardening: convert
+# each value to an integer count of 1e-6 "micro-units" (the compared
+# precision) via floor(x*1e6 + 0.5) and sum as a LONG — integer
+# addition is exact and order-insensitive, and floor stays inside
+# whole-stage codegen (Spark's round(double) allocates a BigDecimal
+# per row). Measured at sf0.1 (round 3): DECIMAL(27,6) accumulation
+# 2.2x slower than double; micro-round 1.3x; micro-FLOOR 0.7x —
+# faster than the double sum itself (long adds codegen better). Both
+# engines compute the identical function (same IEEE product x*1e6,
+# same floor(+0.5) tie-break toward +inf, integer sum, same /1e6
+# division), so the hash comparison holds bit-for-bit.
+#
+# Magnitude ceiling: exact while |group sum| < 2^63 micro-units
+# ≈ 9.2e12 in value units (and each value < 2^53 micro ≈ 9e9). For
+# groups beyond that — 10^12-row groups of 1e5-scale values — use the
+# decimal path: sum(x.cast('decimal(27,6)')), which is what DSUM
+# documented in round 3's first iteration; the compared fixtures and
+# benches sit orders of magnitude below the ceiling.
+_SCALE = 1_000_000
+
+
+def _micro(c) -> F.Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * _SCALE + F.lit(0.5)).cast("long")
 
 
 def DSUM(c) -> F.Column:
-    """Order-insensitive ``round(sum(x), 6)`` — exact decimal
-    accumulation, result cast back to double. SQL twin: dsum_sql()."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.round(F.sum(c.cast(_DEC)), 6).cast("double")
+    """Order-insensitive ``round(sum(x), 6)`` via exact micro-unit
+    long accumulation. SQL twin: dsum_sql()."""
+    return F.round(F.sum(_micro(c)) / F.lit(float(_SCALE)), 6)
 
 
 def DAVG(c) -> F.Column:
-    """Order-insensitive ``round(avg(x), 6)``: exact decimal sum
-    divided by the non-null count in double — identical operands give
-    identical IEEE division on every engine. SQL twin: davg_sql()."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.round(F.sum(c.cast(_DEC)).cast("double") / F.count(c), 6)
+    """Order-insensitive ``round(avg(x), 6)``: exact micro-unit sum,
+    then double divisions in a fixed order — identical operands give
+    identical IEEE results on every engine. SQL twin: davg_sql()."""
+    cc = F.col(c) if isinstance(c, str) else c
+    return F.round(
+        F.sum(_micro(cc)).cast("double") / F.count(cc)
+        / F.lit(float(_SCALE)),
+        6,
+    )
+
+
+def _micro_sql(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)"
 
 
 def dsum_sql(expr: str) -> str:
-    return f"round(sum(({expr})::DECIMAL(27,6)), 6)::DOUBLE"
+    return f"round(sum({_micro_sql(expr)}) / 1000000.0, 6)"
 
 
 def davg_sql(expr: str) -> str:
     return (
-        f"round((sum(({expr})::DECIMAL(27,6)))::DOUBLE"
-        f" / count({expr}), 6)"
+        f"round((sum({_micro_sql(expr)}))::DOUBLE"
+        f" / count({expr}) / 1000000.0, 6)"
     )
 
 
@@ -327,19 +352,20 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             R6(
                 F.sum(
-                    F.when(promo, rev).otherwise(0.0).cast(_DEC)
+                    _micro(F.when(promo, rev).otherwise(0.0))
                 ).cast("double") * 100.0
-                / F.sum(rev.cast(_DEC)).cast("double")
+                / F.sum(_micro(rev)).cast("double")
             ).alias("promo_revenue_pct")
         )
     )
 
 
 Q14_SQL = """
-SELECT round((sum((CASE WHEN p_type LIKE 'PROMO%'
+SELECT round((sum(CAST(floor((CASE WHEN p_type LIKE 'PROMO%'
                    THEN l_extendedprice * (1 - l_discount)
-                   ELSE 0 END)::DECIMAL(27,6)))::DOUBLE * 100.0
-             / (sum((l_extendedprice * (1 - l_discount))::DECIMAL(27,6)))::DOUBLE, 6)
+                   ELSE 0 END) * 1000000 + 0.5) AS BIGINT)))::DOUBLE * 100.0
+             / (sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                   * 1000000 + 0.5) AS BIGINT)))::DOUBLE, 6)
          AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01'
@@ -395,12 +421,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    # decimal sum: the HAVING threshold must not flip with partition
-    # order when a group lands exactly on the 150 boundary
+    # exact micro-unit sum: the HAVING threshold must not flip with
+    # partition order when a group lands exactly on the 150 boundary
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
+        .agg(F.sum(_micro("l_quantity")).alias("total_qty_micro"))
+        .filter(F.col("total_qty_micro") > 150 * _SCALE)
     )
     return (
         o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
@@ -410,7 +436,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").cast("string")
             .alias("o_orderdate"),
             R6(F.col("o_totalprice")).alias("o_totalprice"),
-            R6(F.col("total_qty").cast("double")).alias("total_qty"),
+            R6(
+                F.col("total_qty_micro") / F.lit(float(_SCALE))
+            ).alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
@@ -421,11 +449,14 @@ Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(o_totalprice, 6) AS o_totalprice,
-       round(total_qty::DOUBLE, 6) AS total_qty
+       round(total_qty_micro / 1000000.0, 6) AS total_qty
 FROM orders
-JOIN (SELECT l_orderkey, sum(l_quantity::DECIMAL(27,6)) AS total_qty
+JOIN (SELECT l_orderkey,
+             sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT))
+               AS total_qty_micro
       FROM lineitem GROUP BY l_orderkey
-      HAVING sum(l_quantity::DECIMAL(27,6)) > 150) big
+      HAVING sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT))
+             > 150000000) big
   ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
@@ -576,7 +607,8 @@ SELECT user_id, session_id::BIGINT AS session_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        count(*)::BIGINT AS n_events,
-       round(sum(value::DECIMAL(27,6)), 6)::DOUBLE AS total_value
+       round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+             / 1000000.0, 6) AS total_value
 FROM sess GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
@@ -647,12 +679,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = li.join(
         F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
     )
-    # exact-decimal avg for the correlated threshold: a last-ulp
+    # exact micro-unit avg for the correlated threshold: a last-ulp
     # difference between engines would flip row membership at the cut
     avg_qty = fact.groupBy("l_partkey").agg(
         (
-            F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
-            / F.count("l_quantity") * 0.2
+            F.sum(_micro("l_quantity")).cast("double")
+            / F.count("l_quantity") / F.lit(float(_SCALE)) * 0.2
         ).alias("qty_cut")
     )
     return (
@@ -660,8 +692,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             R6(
-                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double")
-                / 7.0
+                F.sum(_micro("l_extendedprice")).cast("double")
+                / F.lit(float(_SCALE)) / 7.0
             ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -669,15 +701,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q17_SQL = """
-SELECT round((sum(l_extendedprice::DECIMAL(27,6)))::DOUBLE / 7.0, 6)
+SELECT round((sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)))::DOUBLE
+             / 1000000.0 / 7.0, 6)
          AS avg_yearly,
        count(*)::BIGINT AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#1'
   AND l_quantity < (
-    SELECT (sum(l_quantity::DECIMAL(27,6)))::DOUBLE
-             / count(l_quantity) * 0.2
+    SELECT (sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)))::DOUBLE
+             / count(l_quantity) / 1000000.0 * 0.2
     FROM lineitem l2
     WHERE l2.l_partkey = lineitem.l_partkey
       AND l2.l_partkey IN (SELECT p_partkey FROM part
@@ -730,8 +763,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
         (
-            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
-            / F.count("c_acctbal")
+            F.sum(_micro("c_acctbal")).cast("double")
+            / F.count("c_acctbal") / F.lit(float(_SCALE))
         ).alias("a")
     )
     rich = c.join(F.broadcast(avg_bal)).filter(
@@ -756,8 +789,9 @@ Q22_SQL = f"""
 SELECT c_nationkey, count(*)::BIGINT AS n_cust,
        {dsum_sql('c_acctbal')} AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT (sum(c_acctbal::DECIMAL(27,6)))::DOUBLE
-                            / count(c_acctbal)
+WHERE c_acctbal > (SELECT (sum(CAST(floor(c_acctbal * 1000000 + 0.5)
+                                    AS BIGINT)))::DOUBLE
+                            / count(c_acctbal) / 1000000.0
                    FROM customer WHERE c_acctbal > 0)
   AND c_custkey NOT IN (SELECT o_custkey FROM orders)
 GROUP BY c_nationkey ORDER BY c_nationkey
@@ -848,15 +882,15 @@ def window_supplier_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
-        # decimal accumulation: running-sum internals differ across
-        # engines (segment trees vs streaming add) — exactness removes
-        # the ordering freedom
+        # exact micro-unit accumulation: running-sum internals differ
+        # across engines (segment trees vs streaming add) — integer
+        # addition removes the ordering freedom
         F.round(
-            F.sum(rev.cast(_DEC)).over(
+            F.sum(_micro(rev)).over(
                 w.rowsBetween(W.unboundedPreceding, 0)
-            ),
+            ) / F.lit(float(_SCALE)),
             6,
-        ).cast("double").alias("running_revenue"),
+        ).alias("running_revenue"),
         R6(F.lag(rev, 1).over(w)).alias("prev_revenue"),
         F.row_number().over(w).cast("long").alias("rn"),
     )
@@ -864,8 +898,9 @@ def window_supplier_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber::BIGINT AS l_linenumber,
-       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(27,6))
-               OVER w_run, 6)::DOUBLE
+       round(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                            * 1000000 + 0.5) AS BIGINT))
+               OVER w_run / 1000000.0, 6)
          AS running_revenue,
        round(lag(l_extendedprice * (1 - l_discount), 1) OVER w, 6)
          AS prev_revenue,
