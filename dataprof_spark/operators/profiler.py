@@ -74,46 +74,75 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
     ``use_approx_percentiles=True`` switches the quartiles to
     approx_percentile — required at 10^10+ rows where the exact
     aggregate buffers every value; the stats dict records which tier
-    ran (the reference's exact-vs-approx provenance contract)."""
+    ran (the reference's exact-vs-approx provenance contract).
+
+    Execution notes (r3, measured on a 6M-row table):
+    - DECLARATIVE aggregates and TypedImperative ones (HLL
+      approx_count_distinct, percentile buffers) must NOT share one
+      agg — mixing forces the whole 80+-expression aggregate onto
+      the slow object path (62s vs split).
+    - Spark's stddev/skewness/kurtosis (CentralMomentAgg) are ~14x
+      the cost of simple sums in a wide agg (0.5s -> 7s for 8
+      columns). Pass 1 therefore computes only count/min/max/avg;
+      pass 2 adds CENTERED power sums Σ(x-μ)^k — numerically stable
+      because μ comes from pass 1, and nearly free next to the
+      percentile buffers — and std/skew/kurt are derived driver-side
+      with Spark's exact formulas (sqrt(n)·m3/m2^1.5, n·m4/m2²-3).
+    - try_cast("bigint") on non-numeric strings is exception-driven
+      (~10s per 6M-row column); the type-inference probes are regex.
+    Net: 2 wide scans + the 2 follow-ups below, job count
+    independent of column count; 113s -> ~50s on the 6M-row table
+    (the remaining bulk is the HLL pass at the reference's
+    precision-14 rsd=0.008 — a deliberate parity choice).
+    Quartiles and deciles share ONE percentile buffer per column on
+    the approx tier (deciles thereby inherit the 10000 accuracy
+    instead of the old separate 1000)."""
     fields = df.schema.fields
-    aggs: list = [F.count(F.lit(1)).alias("__total")]
+    decl_aggs: list = [F.count(F.lit(1)).alias("__total")]
+    imp_aggs: list = []
+    _APPROX_PCTS = (0.1, 0.2, 0.25, 0.3, 0.4, 0.5, 0.6, 0.7, 0.75, 0.8, 0.9)
     for f_ in fields:
         c, n = F.col(f_.name), f_.name
         if isinstance(f_.dataType, T.StringType):
             null_pred = exprs.nulllike(c)  # reference P1 semantics
         else:
             null_pred = c.isNull()
-        aggs.append(F.sum(null_pred.cast("long")).alias(f"{n}__nulls"))
-        aggs.append(
+        decl_aggs.append(F.sum(null_pred.cast("long")).alias(f"{n}__nulls"))
+        imp_aggs.append(
             F.approx_count_distinct(c, rsd=config.HLL_RSD).alias(
                 f"{n}__approx_distinct"
             )
         )
         if _is_numeric(f_.dataType):
             d = c.cast("double")
-            aggs += [
+            decl_aggs += [
                 F.min(d).alias(f"{n}__min"),
                 F.max(d).alias(f"{n}__max"),
                 F.avg(d).alias(f"{n}__avg"),
-                F.stddev_samp(d).alias(f"{n}__std"),
-                F.skewness(d).alias(f"{n}__skew"),
-                F.kurtosis(d).alias(f"{n}__kurt"),
-                F.expr(
-                    f"approx_percentile({n}, array(0.25, 0.5, 0.75), "
-                    "10000)"
-                    if use_approx_percentiles
-                    else f"percentile({n}, array(0.25, 0.5, 0.75))"
-                ).alias(f"{n}__quartiles"),
-                # equi-depth decile edges (approx — exact buffers all
-                # values; the profiler is a summary, the provenance
-                # flag below says so)
-                F.expr(
-                    f"approx_percentile({n}, "
-                    "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 1000)"
-                ).alias(f"{n}__deciles"),
+                F.count(d).alias(f"{n}__n"),
             ]
+            if use_approx_percentiles:
+                # one buffer serves quartiles AND decile edges
+                pcts = ", ".join(str(p) for p in _APPROX_PCTS)
+                imp_aggs.append(
+                    F.expr(
+                        f"approx_percentile({n}, array({pcts}), 10000)"
+                    ).alias(f"{n}__pcts")
+                )
+            else:
+                imp_aggs += [
+                    F.expr(
+                        f"percentile({n}, array(0.25, 0.5, 0.75))"
+                    ).alias(f"{n}__quartiles"),
+                    # equi-depth decile edges (approx — exact buffers
+                    # all values; the provenance flag below says so)
+                    F.expr(
+                        f"approx_percentile({n}, "
+                        "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 1000)"
+                    ).alias(f"{n}__deciles"),
+                ]
         elif _is_temporal(f_.dataType):
-            aggs += [
+            decl_aggs += [
                 F.min(c).cast("string").alias(f"{n}__min"),
                 F.max(c).cast("string").alias(f"{n}__max"),
                 F.datediff(F.max(c), F.min(c)).alias(f"{n}__duration_days"),
@@ -121,18 +150,24 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
         elif isinstance(f_.dataType, T.StringType):
             ln = F.length(c)
             nn = F.when(~null_pred, c)
-            aggs += [
+            decl_aggs += [
                 F.min(ln).alias(f"{n}__min_len"),
                 F.max(ln).alias(f"{n}__max_len"),
                 F.avg(ln).alias(f"{n}__avg_len"),
-                # inference success ratios over non-null-like values
-                F.avg(nn.try_cast("bigint").isNotNull().cast("double")).alias(
-                    f"{n}__int_ratio"
-                ),
+                # inference success ratios over non-null-like values.
+                # Regex probes, NOT try_cast: try_cast("bigint") on a
+                # non-numeric string is exception-driven in the JVM —
+                # 10.6s vs 0.3s per 6M-row column (r3 measurement).
+                # The digit regexes also match the reference's
+                # finite-numeric predicate (P2) more closely: "NaN"/
+                # "Infinity" spellings don't count as numbers.
                 F.avg(
-                    (
-                        nn.try_cast("double").isNotNull()
-                        & ~F.isnan(F.coalesce(nn.try_cast("double"), F.lit(0.0)))
+                    F.trim(nn).rlike("^[+-]?[0-9]+$").cast("double")
+                ).alias(f"{n}__int_ratio"),
+                F.avg(
+                    F.trim(nn).rlike(
+                        "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)"
+                        "([eE][+-]?[0-9]+)?$"
                     ).cast("double")
                 ).alias(f"{n}__float_ratio"),
                 F.avg(
@@ -143,25 +178,42 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
                 ),
             ]
         elif isinstance(f_.dataType, T.BooleanType):
-            aggs += [
+            decl_aggs += [
                 F.sum(c.cast("long")).alias(f"{n}__true_count"),
             ]
-    row = df.agg(*aggs).collect()[0].asDict()
+    row = df.agg(*decl_aggs).collect()[0].asDict()
+    row.update(df.agg(*imp_aggs).collect()[0].asDict())
     total = row["__total"]
 
     # follow-up: exact distinct for columns under the threshold
     # (the reference's exact-tier contract, cardinality.rs:151-183)
+    # plus the centered power sums Σ(x-μ)^k (declarative — keeping
+    # them OUT of the imperative agg avoids the mixed-mode penalty;
+    # μ needs pass 1, so they could not ride the first scan either)
     exact_cols = [
         f_.name
         for f_ in fields
         if row[f"{f_.name}__approx_distinct"] <= config.EXACT_DISTINCT_THRESHOLD
     ]
+    followup_aggs = [
+        F.countDistinct(F.col(n)).alias(n) for n in exact_cols
+    ]
+    num_cols = [f_.name for f_ in fields if _is_numeric(f_.dataType)]
+    for n in num_cols:
+        mu = row[f"{n}__avg"]
+        if mu is None:
+            continue
+        d = F.col(n).cast("double") - F.lit(float(mu))
+        followup_aggs += [
+            F.sum(d * d).alias(f"{n}__m2"),
+            F.sum(d * d * d).alias(f"{n}__m3"),
+            F.sum(d * d * d * d).alias(f"{n}__m4"),
+        ]
     exact: dict[str, int] = {}
-    if exact_cols:
-        erow = df.agg(
-            *[F.countDistinct(F.col(n)).alias(n) for n in exact_cols]
-        ).collect()[0]
+    if followup_aggs:
+        erow = df.agg(*followup_aggs).collect()[0].asDict()
         exact = {n: erow[n] for n in exact_cols}
+        row.update(erow)
 
     profiles = []
     for f_ in fields:
@@ -171,19 +223,50 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
         stats: dict[str, Any] = {}
         inferred = _infer_type(f_, row, total)
         if _is_numeric(f_.dataType):
-            q = row[f"{n}__quartiles"]
-            mean, std = row[f"{n}__avg"], row[f"{n}__std"]
+            if use_approx_percentiles:
+                p = row[f"{n}__pcts"]
+                # merged layout: (0.1,0.2,0.25,0.3,0.4,0.5,0.6,0.7,
+                # 0.75,0.8,0.9) → quartiles at idx 2/5/8, deciles at
+                # the other nine
+                q = (p[2], p[5], p[8]) if p else None
+                deciles = (
+                    [p[i] for i in (0, 1, 3, 4, 5, 6, 7, 9, 10)]
+                    if p else []
+                )
+            else:
+                q = row[f"{n}__quartiles"]
+                deciles = list(row[f"{n}__deciles"] or [])
+            # std/skew/kurt from centered power sums — Spark's own
+            # formulas (CentralMomentAgg): NaN when undefined, None
+            # when the column is all-null
+            mean = row[f"{n}__avg"]
+            nn_ = row.get(f"{n}__n") or 0
+            m2 = row.get(f"{n}__m2")
+            m3, m4 = row.get(f"{n}__m3"), row.get(f"{n}__m4")
+            nan = float("nan")
+            if mean is None or nn_ == 0 or m2 is None:
+                std = skew = kurt = None
+            else:
+                std = (
+                    (m2 / (nn_ - 1)) ** 0.5 if nn_ > 1 else nan
+                )
+                skew = (
+                    (nn_ ** 0.5) * m3 / m2 ** 1.5 if m2 > 0 else nan
+                )
+                kurt = (
+                    nn_ * m4 / (m2 * m2) - 3.0 if m2 > 0 else nan
+                )
             stats = {
                 "min": row[f"{n}__min"],
                 "max": row[f"{n}__max"],
                 "mean": mean,
                 "std": std,
-                "skewness": row[f"{n}__skew"],
-                "kurtosis": row[f"{n}__kurt"],
+                "skewness": skew,
+                "kurtosis": kurt,
                 "q1": q[0] if q else None,
                 "median": q[1] if q else None,
                 "q3": q[2] if q else None,
-                "decile_edges": list(row[f"{n}__deciles"] or []),
+                "decile_edges": deciles,
                 "decile_edges_approximate": True,
                 "quartiles_approximate": use_approx_percentiles,
                 # CV: None when |mean| < 0.001 (numeric.rs:230-237)

@@ -42,16 +42,17 @@ def infer_batch_types(df: DataFrame) -> dict[str, str]:
         if isinstance(f_.dataType, T.StringType):
             str_cols.append(f_.name)
             nn = F.when(~exprs.nulllike(F.col(f_.name)), F.col(f_.name))
+            # regex probes, not try_cast — exception-driven parse
+            # failures cost ~30x on all-non-numeric columns (same
+            # change as the batch profiler, r3)
             aggs += [
                 F.avg(
-                    nn.try_cast("bigint").isNotNull().cast("double")
+                    F.trim(nn).rlike("^[+-]?[0-9]+$").cast("double")
                 ).alias(f"{f_.name}__int"),
                 F.avg(
-                    (
-                        nn.try_cast("double").isNotNull()
-                        & ~F.isnan(
-                            F.coalesce(nn.try_cast("double"), F.lit(0.0))
-                        )
+                    F.trim(nn).rlike(
+                        "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)"
+                        "([eE][+-]?[0-9]+)?$"
                     ).cast("double")
                 ).alias(f"{f_.name}__float"),
                 F.avg(
