@@ -191,12 +191,16 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals) and the same bucket-join-then-threshold plan — the LSH
     candidate set itself is oracle-verified, not just the cosines."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # threshold 0.3, not 0.5: at 0.5 the clustered fixture yields ZERO
+    # pairs at sf0.001-0.01 — a hash-match over an empty result is
+    # vacuous correctness evidence (the r2 verdict's anti_join
+    # critique). 0.3 produces 40-800 verified pairs at every SF.
     return similarity.embedding_near_dup_pairs(
-        emb, threshold=0.5, n_planes=6
+        emb, threshold=0.3, n_planes=6
     ).orderBy("id_a", "id_b")
 
 
-def _ddb_embedding_near_dup_sql(threshold: float = 0.5,
+def _ddb_embedding_near_dup_sql(threshold: float = 0.3,
                                 n_planes: int = 6, dim: int = 64) -> str:
     planes = similarity.hyperplanes(dim, n_planes)
     bucket_terms = " + ".join(
