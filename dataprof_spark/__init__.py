@@ -16,3 +16,12 @@ Design stance (SURVEY.md §7.0):
 """
 
 __version__ = "0.1.0"
+
+
+def profile(source, **opts):
+    """Top-level facade — see dataprof_spark.facade.profile (the
+    reference's `dp.profile(source, **opts)` entry point). Imported
+    lazily so `import dataprof_spark` stays free of Spark imports."""
+    from dataprof_spark.facade import profile as _profile
+
+    return _profile(source, **opts)
