@@ -179,6 +179,53 @@ def test_gate_boundary_parity(spark):
     assert not mismatches, (len(mismatches), mismatches[:5])
 
 
+def test_micro_unit_sum_cross_engine_property(spark):
+    """Property behind r3's hash hardening: for ARBITRARY doubles —
+    including values engineered onto .xxxxxx5 rounding boundaries —
+    the micro-unit sum (floor(x*1e6+0.5) long accumulation) gives
+    bit-identical results in Spark and DuckDB regardless of grouping
+    or partition order."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dataprof_spark.queries import DSUM, dsum_sql
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(4000):
+        kind = i % 4
+        if kind == 0:
+            v = rng.uniform(-1e6, 1e6)
+        elif kind == 1:
+            # exact .5 micro-unit boundaries (the tie-break case)
+            v = (rng.randrange(-10**9, 10**9) + 0.5) / 1e6
+        elif kind == 2:
+            v = rng.uniform(-1e-4, 1e-4)  # sub-precision noise
+        else:
+            v = float(rng.randrange(-10**12, 10**12)) / 1e6
+        rows.append((i % 37, v))  # 37 groups, varied sizes
+
+    sdf = spark.createDataFrame(rows, "g int, v double").repartition(7)
+    got = {
+        r["g"]: r["s"]
+        for r in sdf.groupBy("g").agg(DSUM("v").alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (g INT, v DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        g: s
+        for g, s in con.execute(
+            f"SELECT g, {dsum_sql('v')} AS s FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want  # exact ==, not approx: that IS the claim
+
+
 def test_date_parse_chain_roundtrip_property(spark):
     """Property: any calendar date rendered in ANY of the chain's six
     date formats parses back to the same date, and ambiguous
