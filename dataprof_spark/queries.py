@@ -1892,6 +1892,165 @@ FROM (
 """
 
 
+def checksum_validators_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 checksum validators (core/validators.py luhn + iban_mod97,
+    reference validators.rs) driver-verified end-to-end: the fixture
+    corpus contains no digit runs, so validating real columns would be
+    vacuous — instead deterministic candidate strings derive from the
+    order keys and BOTH engines recompute the full checksums:
+
+    - cc16: 16 digits from o_orderkey; luhn_valid varies per row
+      (~10% true, the natural Luhn pass rate on arbitrary digits);
+    - a German-format IBAN with CORRECTLY COMPUTED check digits
+      (mod-97 fold) that must always validate, and a corrupted twin
+      (check digits +1) that must never — both through the same
+      validator expression.
+
+    All integer math is a streaming (acc*10 + d) % 97 / Luhn fold in
+    Spark; DuckDB recomputes identically (HUGEINT division for the
+    check digits is mathematically the same mod). Zero Python."""
+    o = _t(spark, sf_dir, "orders")
+
+    def luhn_sum(col: str, n: int) -> str:
+        d = f"(ascii(substr(reverse({col}), i, 1)) - 48)"
+        return (
+            f"aggregate(sequence(1, {n}), 0, (a, i) -> a + "
+            f"CASE WHEN i % 2 = 0 THEN "
+            f"IF({d} * 2 > 9, {d} * 2 - 9, {d} * 2) "
+            f"ELSE {d} END)"
+        )
+
+    def mod97(expr: str) -> str:
+        return (
+            f"aggregate(sequence(1, length({expr})), 0, "
+            f"(a, i) -> (a * 10 + (ascii(substr({expr}, i, 1)) - 48)) % 97)"
+        )
+
+    out = (
+        o.select("o_orderkey")
+        .withColumn(
+            "cc16",
+            F.lpad(
+                ((F.col("o_orderkey") * 7919 + 12345)
+                 % F.lit(10 ** 15)).cast("string"),
+                16, "0",
+            ),
+        )
+        .withColumn(
+            "bban",
+            F.lpad(
+                ((F.col("o_orderkey") * 104729 + 7)
+                 % F.lit(10 ** 17)).cast("string"),
+                18, "0",
+            ),
+        )
+        .withColumn("luhn_valid", F.expr(luhn_sum("cc16", 16) + " % 10 = 0"))
+        # DE check digits: 98 - mod97(BBAN || '1314' || '00')
+        .withColumn(
+            "check2",
+            F.lpad(
+                (98 - F.expr(mod97("concat(bban, '131400')")))
+                .cast("string"),
+                2, "0",
+            ),
+        )
+        # validation of the assembled IBAN: mod97(BBAN||'1314'||check)==1
+        .withColumn(
+            "iban_valid",
+            F.expr(mod97("concat(bban, '1314', check2)")) == 1,
+        )
+        .withColumn(
+            "iban_corrupt_valid",
+            F.expr(
+                mod97(
+                    "concat(bban, '1314', "
+                    "lpad(CAST((CAST(check2 AS INT) + 1) % 100 AS STRING),"
+                    " 2, '0'))"
+                )
+            ) == 1,
+        )
+        # synthesized PII-bearing text: the corpus itself is digit-free
+        # (doc_pii_counts is legitimately all-zero on it), so the
+        # email/phone/ipv4 DETECTOR kernels get their non-vacuous
+        # driver verification here — counts vary per row (0-2 emails,
+        # 1 phone from bban digits, 0-1 ips)
+        .withColumn(
+            "pii_text",
+            F.expr(
+                "concat("
+                "repeat(concat('u', CAST(o_orderkey % 97 AS STRING),"
+                "  '@mail-', CAST(o_orderkey % 9 AS STRING), '.com '),"
+                "  CAST(o_orderkey % 3 AS INT)), "
+                "'tel ', substr(bban, 1, 3), '-', substr(bban, 4, 3),"
+                " '-', substr(bban, 7, 4), "
+                "IF(o_orderkey % 2 = 0, "
+                "  concat(' ip 10.', CAST(o_orderkey % 256 AS STRING),"
+                "         '.0.', CAST(o_orderkey % 250 AS STRING)), ''))"
+            ),
+        )
+        .select(
+            "o_orderkey", "cc16", "luhn_valid",
+            F.concat(F.lit("DE"), F.col("check2"), F.col("bban"))
+            .alias("iban"),
+            "iban_valid", "iban_corrupt_valid",
+            exprs.email_count(F.col("pii_text")).alias("email_count"),
+            exprs.phone_count(F.col("pii_text")).alias("phone_count"),
+            exprs.ipv4_count(F.col("pii_text")).alias("ipv4_count"),
+        )
+        .orderBy("o_orderkey")
+    )
+    return out
+
+
+def _checksum_validators_sql() -> str:
+    luhn = (
+        "list_sum(list_transform(range(1, 17), i -> "
+        "CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN (ascii(substr(reverse(cc16), i, 1)) - 48) * 2 > 9 "
+        "THEN (ascii(substr(reverse(cc16), i, 1)) - 48) * 2 - 9 "
+        "ELSE (ascii(substr(reverse(cc16), i, 1)) - 48) * 2 END "
+        "ELSE ascii(substr(reverse(cc16), i, 1)) - 48 END)) % 10 = 0"
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         lpad(((o_orderkey * 7919 + 12345) % 1000000000000000)::VARCHAR,
+              16, '0') AS cc16,
+         lpad(((o_orderkey * 104729 + 7) % 100000000000000000)::VARCHAR,
+              18, '0') AS bban
+  FROM orders
+), checked AS (
+  SELECT *,
+         lpad((98 - ((bban || '131400')::HUGEINT % 97))::VARCHAR,
+              2, '0') AS check2,
+         repeat('u' || (o_orderkey % 97)::VARCHAR || '@mail-' ||
+                (o_orderkey % 9)::VARCHAR || '.com ',
+                (o_orderkey % 3)::INT)
+         || 'tel ' || substr(bban, 1, 3) || '-' || substr(bban, 4, 3)
+         || '-' || substr(bban, 7, 4)
+         || CASE WHEN o_orderkey % 2 = 0
+                 THEN ' ip 10.' || (o_orderkey % 256)::VARCHAR
+                      || '.0.' || (o_orderkey % 250)::VARCHAR
+                 ELSE '' END AS pii_text
+  FROM base
+)
+SELECT o_orderkey, cc16, {luhn} AS luhn_valid,
+       'DE' || check2 || bban AS iban,
+       ((bban || '1314' || check2)::HUGEINT % 97) = 1 AS iban_valid,
+       ((bban || '1314' ||
+         lpad(((check2::INT + 1) % 100)::VARCHAR, 2, '0'))::HUGEINT % 97) = 1
+         AS iban_corrupt_valid,
+       {{email}} AS email_count,
+       {{phone}} AS phone_count,
+       {{ipv4}} AS ipv4_count
+FROM checked ORDER BY o_orderkey
+""".format(
+        email=exprs.duckdb_signal_sql("pii_text")["email_count"],
+        phone=exprs.duckdb_signal_sql("pii_text")["phone_count"],
+        ipv4=exprs.duckdb_signal_sql("pii_text")["ipv4_count"],
+    )
+
+
 def salted_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation (operators/skew.py): two-stage salted
     count+sum per source. The salt is an execution detail — results
@@ -2140,6 +2299,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "correlations_lineitem": (correlations_lineitem, CORR_SQL),
         "profile_documents": (profile_documents, PROFILE_SQL),
+        "checksum_validators_orders": (
+            checksum_validators_orders, _checksum_validators_sql(),
+        ),
         # -- TPC-H join/subquery shapes (one per distinct shape) -----
         "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
         "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -2174,6 +2336,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "outlier_iqr_quantity": (outlier_iqr_quantity, OUTLIER_SQL),
         "window_supplier_running": (window_supplier_running, WINDOW_SQL),
         # -- dedup / similarity / sampling ---------------------------
+        # (sample_hash retired in favor of checksum_validators_orders:
+        # its md5-threshold admission kernel also runs inside
+        # sample_multistage's md5-ordered reservoir stage, and it
+        # stays locally oracle-verified via retired_registry)
         **{
             k: v for k, v in dedup_reg.items()
             if k not in _RETIRED_DEDUP
@@ -2206,7 +2372,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
 #                             -> simhash_md5_fingerprints (oracle'd)
 #   pattern_summary_orders (rows-only by design; validators are
 #     pytest-verified, detector evidence rides doc_pii_counts)
-_RETIRED_DEDUP = frozenset({"simhash_fingerprints", "sample_systematic"})
+_RETIRED_DEDUP = frozenset(
+    {"simhash_fingerprints", "sample_systematic", "sample_hash"}
+)
 
 
 def retired_registry() -> dict[str, tuple[Callable, str | None]]:
