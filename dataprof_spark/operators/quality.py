@@ -106,18 +106,26 @@ def assess(df: DataFrame, key_col: str | None = None,
     # uniqueness: row duplicates via 64-bit hash of all columns (A11;
     # xxhash64 not 32-bit hash() — at 10^7+ rows 32-bit birthday
     # collisions would inflate the duplicate count)
-    _distinct = (
-        (lambda c: F.approx_count_distinct(c, rsd=0.008))
-        if use_approx_distinct
-        else F.countDistinct
-    )
-    aggs.append(
+    # HLL is a TypedImperative aggregate: when the approx tier is on,
+    # its aggs ride the SEPARATE imperative job (pct_aggs) so they
+    # don't knock the whole declarative agg off the codegen fast path
+    # (profiler.py r3 note); exact countDistinct is declarative and
+    # stays in the main agg.
+    if use_approx_distinct:
+        _distinct = lambda c: F.approx_count_distinct(c, rsd=0.008)  # noqa: E731
+        _distinct_sink = pct_aggs
+    else:
+        _distinct = F.countDistinct
+        _distinct_sink = aggs
+    _distinct_sink.append(
         _distinct(
             F.xxhash64(*[F.col(f_.name) for f_ in fields_])
         ).alias("__distinct_rows")
     )
     if key_col:
-        aggs.append(_distinct(F.col(key_col)).alias("__key_distinct"))
+        _distinct_sink.append(
+            _distinct(F.col(key_col)).alias("__key_distinct")
+        )
         aggs.append(
             F.sum(F.col(key_col).isNotNull().cast("long")).alias("__key_nn")
         )
