@@ -1892,6 +1892,106 @@ FROM (
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year — the symmetric OR-of-nation-pairs join (supplier nation ×
+    customer nation), grouped on derived columns. Local-tier shape
+    evidence (retired_registry); nation/region broadcast, fact joins
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    pair = (
+        ((F.col("s_nationkey") == 0) & (F.col("c_nationkey") == 1))
+        | ((F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 0))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("supp_nation"),
+            F.col("c_nationkey").cast("long").alias("cust_nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(DSUM(rev).alias("volume"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT s_nationkey::BIGINT AS supp_nation,
+       c_nationkey::BIGINT AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS volume,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE (s_nationkey = 0 AND c_nationkey = 1)
+   OR (s_nationkey = 1 AND c_nationkey = 0)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional trade volume by
+    year — ratio of a CONDITIONAL sum to the total within each group
+    (two-level aggregation semantics in one pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("s_nationkey") == 0, rev).otherwise(0.0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("r_regionkey") == 0)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            R6(
+                F.sum(_micro(target)).cast("double")
+                / F.sum(_micro(rev)).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       round(
+         (sum(CAST(floor((CASE WHEN s_nationkey = 0
+                THEN l_extendedprice * (1 - l_discount)
+                ELSE 0 END) * 1000000 + 0.5) AS BIGINT)))::DOUBLE
+         / (sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                * 1000000 + 0.5) AS BIGINT)))::DOUBLE, 6)
+         AS mkt_share,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE r_regionkey = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def checksum_validators_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 checksum validators (core/validators.py luhn + iban_mod97,
     reference validators.rs) driver-verified end-to-end: the fixture
@@ -2382,6 +2482,8 @@ def retired_registry() -> dict[str, tuple[Callable, str | None]]:
 
     dedup_reg = queries_dedup.registry()
     return {
+        "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+        "q8_market_share": (q8_market_share, Q8_SQL),
         "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
         "q4_order_priority": (q4_order_priority, Q4_SQL),
         "anti_join_customers_no_orders": (
