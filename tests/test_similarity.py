@@ -152,6 +152,39 @@ def test_auto_planes_oracle_verified_at_two_sizes(spark):
         )
 
 
+def test_multi_probe_lsh_recall_monotone(spark, emb):
+    """Multi-probe LSH: recall@5 must be non-decreasing in n_probe,
+    with a strict improvement from 1 to 8 probes, and the n_probe=1
+    path must stay IDENTICAL to the single-bucket oracle-checked
+    query (the registry twin relies on that)."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    recalls = []
+    for probes in (1, 4, 8):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.lsh_topk(
+                emb, queries, k=5, n_planes=4, n_probe=probes
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] > recalls[0]
+
+    one_probe = similarity.lsh_topk(
+        emb, queries, k=5, n_planes=4, n_probe=1
+    ).orderBy("query_id", "rank").collect()
+    legacy_rows = similarity.lsh_topk(
+        emb, queries, k=5, n_planes=4
+    ).orderBy("query_id", "rank").collect()
+    assert one_probe == legacy_rows
+
+
 def test_near_dup_pair_cap_guard(spark):
     """Skew guard: a boilerplate-heavy bucket (here 40 identical
     vectors) is sub-bucketed when it exceeds max_bucket_size — but
