@@ -54,6 +54,57 @@ def mark_exact_duplicates(
     return out
 
 
+def mark_near_duplicates(
+    decisions: DataFrame,
+    threshold: float = 0.7,
+    n_perm: int = 16,
+    n_bands: int | None = None,
+    text_col: str = "scrubbed_text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Phase 2b: demote near-duplicates among KEPT documents via
+    MinHash-LSH candidates + exact shingle-Jaccard verify
+    (operators/dedup.near_dup_minhash; banding derived from the
+    verify threshold when n_bands is None).
+
+    Demotion rule, chosen for determinism WITHOUT a connected-
+    components pass (iterative CC is the one thing this pipeline
+    refuses to pay at 10^12 docs): in every verified pair the
+    lexicographically larger url is demoted. Relative to true
+    clustering this can only over-demote (both directions of a chain
+    collapse toward the smallest url) — conservative in the right
+    direction for training data, and re-running after a resume gives
+    byte-identical output. Plan: bucket-join candidates (never
+    all-pairs), one distinct on the loser urls, one shuffle join back
+    on url."""
+    from dataprof_spark.operators import dedup
+
+    kept = decisions.filter(F.col("keep")).select(
+        F.col(url_col), F.col(text_col)
+    )
+    pairs = dedup.near_dup_minhash(
+        kept, id_col=url_col, text_col=text_col,
+        threshold=threshold, n_perm=n_perm, n_bands=n_bands,
+    )
+    losers = pairs.select(
+        F.col("id_b").alias(url_col)
+    ).distinct().withColumn("__near_dup", F.lit(True))
+    return (
+        decisions.join(losers, url_col, "left")
+        .withColumns(
+            {
+                # losers are by construction previously-kept docs
+                "keep": F.col("keep") & F.col("__near_dup").isNull(),
+                "drop_reason": F.when(
+                    F.col("__near_dup").isNotNull(),
+                    F.lit("near_duplicate"),
+                ).otherwise(F.col("drop_reason")),
+            }
+        )
+        .drop("__near_dup")
+    )
+
+
 def label_exact_duplicates(rows: list[dict]) -> list[dict]:
     """Single-node twin for the labeler (same canonical rule)."""
     import hashlib

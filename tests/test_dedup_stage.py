@@ -60,3 +60,41 @@ def test_canonical_is_smallest_url(spark, rows):
         by_fp[r["fp"]].append(r["url"])
     # exactly one kept per fingerprint
     assert all(len(v) == 1 for v in by_fp.values())
+
+
+def test_near_dup_stage_demotes_larger_url(spark, rows):
+    """Phase 2b: near-duplicates among kept docs are demoted
+    deterministically (larger url loses); disjoint docs untouched;
+    idempotent on re-run (resume discipline)."""
+    from pyspark.sql import functions as F
+
+    base = fixtures.pages_df(spark, rows)
+    dec = dedup_stage.mark_exact_duplicates(sgates.decide(base))
+
+    # plant two near-duplicate kept docs: copy a kept doc's text with
+    # a one-word change under a larger url
+    kept = dec.filter("keep").orderBy("url").limit(1).collect()[0]
+    near = dec.sparkSession.createDataFrame(
+        [(f"zzz-near.example.org/{i}",
+          kept["scrubbed_text"] + f" trailing{i}", True, None)
+         for i in range(2)],
+        "url string, scrubbed_text string, keep boolean, drop_reason string",
+    )
+    merged = dec.select(
+        "url", "scrubbed_text", "keep", "drop_reason"
+    ).unionByName(near)
+
+    out = dedup_stage.mark_near_duplicates(merged, threshold=0.6)
+    got = {r["url"]: (r["keep"], r["drop_reason"]) for r in out.collect()}
+    # the original (smallest url) survives; both planted clones lose
+    assert got[kept["url"]][0] is True
+    for i in range(2):
+        u = f"zzz-near.example.org/{i}"
+        assert got[u] == (False, "near_duplicate")
+    # counts conserve
+    assert out.count() == merged.count()
+    # idempotent: a second pass changes nothing
+    again = dedup_stage.mark_near_duplicates(out, threshold=0.6)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, out.collect())
+    )
