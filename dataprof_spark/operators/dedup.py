@@ -94,41 +94,66 @@ def shingle_hash(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
+def _bind_once(col: Column, f) -> Column:
+    """Evaluate ``col`` exactly once per row and pass it to ``f`` as a
+    bound lambda variable. Catalyst has no common-subexpression
+    elimination across the branches of an expression tree, so a
+    subexpression referenced N times is COMPUTED N times — for the
+    minhash pipeline that meant the shingle+md5 array was rebuilt 16×
+    (once per permutation) and the whole signature 4× more (once per
+    band slice): 64 evaluations per row, ~40 ms/doc on page-length
+    text (r3 measurement). `transform(array(col), x -> f(x))[1]`
+    binds the value once; lambda-variable reads are free."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def minhash_signature(c: Column, n_perm: int = N_PERM_DEFAULT) -> Column:
     """Array of n_perm minhash values over the text's shingles.
     Empty shingle sets get MERSENNE_31 sentinels (never collide with
-    real docs)."""
-    sh = shingles(c)
-    hashes = F.transform(sh, shingle_hash)
-    mins = []
-    for a, b in _hash_family(n_perm):
-        permuted = F.transform(
-            hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_31
-        )
-        mins.append(
-            F.coalesce(F.array_min(permuted), F.lit(MERSENNE_31))
-        )
-    return F.array(*mins)
+    real docs). The hashed-shingle array is evaluated ONCE per row
+    (_bind_once); the n_perm min-folds traverse the bound array."""
+    fam = _hash_family(n_perm)
+
+    def _perm(a: int, b: int):
+        # closure factory: default-arg capture would change the
+        # lambda's arity, which PySpark uses to bind lambda variables
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_31
+
+    def mins_from(hashes: Column) -> Column:
+        return F.array(*[
+            F.coalesce(
+                F.array_min(F.transform(hashes, _perm(a, b))),
+                F.lit(MERSENNE_31),
+            )
+            for a, b in fam
+        ])
+
+    return _bind_once(
+        F.transform(shingles(c), shingle_hash), mins_from
+    )
 
 
 def minhash_bands(sig: Column, n_bands: int = N_BANDS_DEFAULT,
                   n_perm: int = N_PERM_DEFAULT) -> Column:
-    """Band fingerprints: md5 of the joined band slice."""
+    """Band fingerprints: md5 of the joined band slice. The signature
+    expression is evaluated ONCE (_bind_once), not per band."""
     rows_per_band = n_perm // n_bands
-    return F.array(
-        *[
+
+    def bands_from(s: Column) -> Column:
+        return F.array(*[
             F.md5(
                 F.concat_ws(
                     "_",
                     F.transform(
-                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        F.slice(s, b * rows_per_band + 1, rows_per_band),
                         lambda x: x.cast("string"),
                     ),
                 )
             )
             for b in range(n_bands)
-        ]
-    )
+        ])
+
+    return _bind_once(sig, bands_from)
 
 
 def lsh_candidate_pairs(
@@ -151,9 +176,14 @@ def lsh_candidate_pairs(
             minhash_signature(F.col(text_col), n_perm), n_bands, n_perm
         ).alias("bands"),
     )
+    # explicit repartition on the join keys: the self-join would
+    # otherwise evaluate the minhash subtree once per SIDE; with the
+    # exchange in place Spark plans a ReusedExchange for the second
+    # side, so signatures are computed exactly once per document —
+    # and the join needs this exact hash partitioning anyway
     exploded = sig.select(
         "id", F.posexplode("bands").alias("band_idx", "band_hash")
-    )
+    ).repartition("band_idx", "band_hash")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -244,15 +274,23 @@ def _simhash_from_hashes(hashes: Column, n_bits: int) -> Column:
         F.array_repeat(F.lit(0).cast("long"), n_bits),
         lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
     )
-    out = F.lit(0).cast("long")
-    for i in range(n_bits):
-        # shiftleft (not a Python 1 << i literal): bit 63 must wrap
-        # into the sign bit exactly as the legacy per-bit version did
-        out = out + F.when(
-            counts.getItem(i) > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+
+    def fingerprint_from(cts: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for i in range(n_bits):
+            # shiftleft (not a Python 1 << i literal): bit 63 must
+            # wrap into the sign bit exactly as the legacy per-bit
+            # version did
+            out = out + F.when(
+                cts.getItem(i) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    # _bind_once: the fold result is read n_bits times — without the
+    # binding, Catalyst re-inlines (re-executes) the whole fold per
+    # bit (the r3 minhash finding, same fix)
+    return _bind_once(counts, fingerprint_from)
 
 
 def simhash_md5_60(c: Column, n_bits: int = 20) -> Column:

@@ -59,6 +59,15 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--target-records-per-file", type=int, default=1_000_000,
     )
+    parser.add_argument(
+        "--dedup", choices=("none", "exact", "near"), default="none",
+        help="corpus-wide dedup pass over the checkpointed decisions "
+             "(exact = md5 text groups; near = exact + MinHash-LSH "
+             "near-duplicates). Runs AFTER the per-partition phase — "
+             "dedup needs the corpus-wide view — and writes "
+             "<output>_deduped",
+    )
+    parser.add_argument("--near-threshold", type=float, default=0.7)
     args = parser.parse_args(argv)
 
     if args.make_zip:
@@ -95,6 +104,25 @@ def main(argv: list[str] | None = None) -> int:
         summary["files_after_compaction"] = checkpoint.compact(
             spark, args.output, args.target_records_per_file
         )
+    if args.dedup != "none":
+        from pyspark.sql import functions as F
+
+        from dataprof_spark.pipeline import dedup_stage
+
+        dec = spark.read.parquet(args.output)
+        dec = dedup_stage.mark_exact_duplicates(dec)
+        if args.dedup == "near":
+            dec = dedup_stage.mark_near_duplicates(
+                dec, threshold=args.near_threshold
+            )
+        dedup_out = args.output.rstrip("/") + "_deduped"
+        dec.write.mode("overwrite").parquet(dedup_out)
+        final = spark.read.parquet(dedup_out)
+        summary["dedup"] = {
+            "mode": args.dedup,
+            "output": dedup_out,
+            "docs_kept_after_dedup": final.filter(F.col("keep")).count(),
+        }
     print(json.dumps(summary))
     if existing is None:
         spark.stop()
