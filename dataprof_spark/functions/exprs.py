@@ -18,6 +18,17 @@ from pyspark.sql import functions as F
 
 from dataprof_spark import config
 
+
+def bind_once(col: Column, f) -> Column:
+    """Evaluate ``col`` exactly once per row and pass it to ``f`` as a
+    bound lambda variable — Catalyst has no common-subexpression
+    elimination inside an expression tree, so a subexpression
+    referenced N times is otherwise COMPUTED N times (the r3 minhash
+    finding: 64 evaluations per row). ``transform(array(col),
+    x -> f(x))[1]`` binds the value once; lambda-variable reads are
+    free."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
 # Canonical pattern strings — single source for Spark, DuckDB oracle
 # SQL, and (via core/textsignals.py) Python re.
 WORD_PAT = "[A-Za-z]+"
@@ -187,14 +198,25 @@ def token_set_hits(c: Column, words: tuple[str, ...]) -> Column:
 def stopword_langid(c: Column) -> Column:
     """SQL-expressible language ID: argmax of per-language stopword
     token hits, alphabetical tie-break, 'und' when all zero. The
-    DuckDB twin is built by duckdb_langid_sql()."""
+    DuckDB twin is built by duckdb_langid_sql().
+
+    The per-language hit counts are computed ONCE into a bound array
+    (bind_once): the naive when-chain re-inlined every language's
+    split+filter AND the max into every branch — O(n_langs²)
+    tokenizations per document."""
     langs = sorted(config.STOPWORDS_BY_LANG)
-    scores = {l: token_set_hits(c, config.STOPWORDS_BY_LANG[l]) for l in langs}
-    mx = F.greatest(*scores.values())
-    expr = F.when(mx == 0, F.lit("und"))
-    for l in langs:
-        expr = expr.when(scores[l] == mx, F.lit(l))
-    return expr
+    scores_arr = F.array(*[
+        token_set_hits(c, config.STOPWORDS_BY_LANG[l]) for l in langs
+    ])
+
+    def pick(s: Column) -> Column:
+        mx = F.array_max(s)
+        expr = F.when(mx == 0, F.lit("und"))
+        for i, l in enumerate(langs):
+            expr = expr.when(s.getItem(i) == mx, F.lit(l))
+        return expr
+
+    return bind_once(scores_arr, pick)
 
 
 def duckdb_langid_sql(text_expr: str = "text") -> str:

@@ -94,17 +94,7 @@ def shingle_hash(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
-def _bind_once(col: Column, f) -> Column:
-    """Evaluate ``col`` exactly once per row and pass it to ``f`` as a
-    bound lambda variable. Catalyst has no common-subexpression
-    elimination across the branches of an expression tree, so a
-    subexpression referenced N times is COMPUTED N times — for the
-    minhash pipeline that meant the shingle+md5 array was rebuilt 16×
-    (once per permutation) and the whole signature 4× more (once per
-    band slice): 64 evaluations per row, ~40 ms/doc on page-length
-    text (r3 measurement). `transform(array(col), x -> f(x))[1]`
-    binds the value once; lambda-variable reads are free."""
-    return F.element_at(F.transform(F.array(col), f), 1)
+from dataprof_spark.functions.exprs import bind_once as _bind_once
 
 
 def minhash_signature(c: Column, n_perm: int = N_PERM_DEFAULT) -> Column:

@@ -343,9 +343,17 @@ def _cent_dots(vec: Column, cents: np.ndarray) -> Column:
 
 
 def ivf_cell(vec: Column, cents: np.ndarray) -> Column:
-    """1-based nearest-cell id: argmax of centroid dots (first max)."""
-    dots = _cent_dots(vec, cents)
-    return F.array_position(dots, F.array_max(dots)).cast("long")
+    """1-based nearest-cell id: argmax of centroid dots (first max).
+    The dots array is bound once — referencing it in both
+    array_position and array_max would otherwise compute every
+    centroid dot product twice (exprs.bind_once, the r3 CSE
+    finding)."""
+    from dataprof_spark.functions.exprs import bind_once
+
+    return bind_once(
+        _cent_dots(vec, cents),
+        lambda d: F.array_position(d, F.array_max(d)).cast("long"),
+    )
 
 
 def ivf_topk(
