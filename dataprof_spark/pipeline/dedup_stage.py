@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 
 def mark_exact_duplicates(
@@ -26,32 +25,53 @@ def mark_exact_duplicates(
 ) -> DataFrame:
     """Demote non-canonical members of identical-text groups:
     keep=false, drop_reason='exact_duplicate'. Only previously-kept
-    documents participate (a dropped doc can't shadow a kept one)."""
-    fp = F.when(
-        F.col("keep"), F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    documents participate (a dropped doc can't shadow a kept one).
+
+    Shape (same as mark_near_duplicates, deliberately): fingerprint
+    ONLY the kept rows, groupBy the uniform md5 key to find the
+    canonical (min url) of each multi-member group, derive the loser
+    url set, and left-join it back onto the full decisions table.
+    Dropped documents never enter the aggregation, so no task ever
+    owns "every dropped doc" — the earlier window-over-nullable-key
+    formulation put all non-kept rows (30-60% of a web corpus) in a
+    single NULL partition, a one-task straggler at 10^12 docs.
+    Cost: one shuffle on md5 (kept rows only, skew-free), one
+    aggregate, one join back on url (loser side shrunk to
+    duplicate-group members before the join; AQE sizes it)."""
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     )
-    w = W.partitionBy("__fp")
-    out = (
-        decisions.withColumn("__fp", fp)
-        .withColumn(
-            "__canonical",
-            F.col("__fp").isNull()
-            | (F.col(url_col) == F.min(url_col).over(w)),
+    kept = decisions.filter(F.col("keep")).select(
+        F.col(url_col), fp.alias("__fp")
+    )
+    groups = (
+        kept.groupBy("__fp")
+        .agg(
+            F.min(url_col).alias("__canonical_url"),
+            F.count(F.lit(1)).alias("__n"),
         )
+        .filter(F.col("__n") > 1)
+    )
+    losers = (
+        kept.join(groups, "__fp")
+        .filter(F.col(url_col) != F.col("__canonical_url"))
+        .select(F.col(url_col))
+        .withColumn("__exact_dup", F.lit(True))
+    )
+    return (
+        decisions.join(losers, url_col, "left")
         .withColumns(
             {
-                "keep": F.col("keep") & F.col("__canonical"),
+                # losers are by construction previously-kept docs
+                "keep": F.col("keep") & F.col("__exact_dup").isNull(),
                 "drop_reason": F.when(
-                    F.col("keep") & F.col("__canonical"),
-                    F.lit(None).cast("string"),
-                ).when(
-                    ~F.col("__canonical"), F.lit("exact_duplicate")
+                    F.col("__exact_dup").isNotNull(),
+                    F.lit("exact_duplicate"),
                 ).otherwise(F.col("drop_reason")),
             }
         )
-        .drop("__fp", "__canonical")
+        .drop("__exact_dup")
     )
-    return out
 
 
 def mark_near_duplicates(
