@@ -43,31 +43,49 @@ def _consume(df) -> int:
 
 
 def run_headline() -> dict:
+    """Median-of-N timing per query (N = $BENCH_TRIALS, default 5),
+    after a per-query warm-up execution. Single-shot timings on a
+    shared host proved noisy (r3's pipeline_decisions artifact printed
+    0.851 s vs r2's 0.531 with no code change on that path); the
+    median-of-trials discipline the scaling protocol already uses is
+    applied here too, and the per-query [min, max] spread is disclosed
+    so any residual host noise is visible in the artifact."""
+    import statistics
+
     from dataprof_spark import queries as q
     from dataprof_spark.session import get_spark
 
+    n_trials = max(1, int(os.environ.get("BENCH_TRIALS", "5")))
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     reg = q.registry()
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+
+    def time_df(df) -> tuple[float, list[float]]:
+        _consume(df)  # per-query JIT / Python-worker warm-up
+        runs = []
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            _consume(df)
+            runs.append(time.perf_counter() - t0)
+        med = statistics.median(runs)
+        return med, [round(min(runs), 3), round(max(runs), 3)]
+
     # warm the JVM + parquet footers once
     _consume(reg["q1_pricing_summary"][0](spark, SF_DIR))
     for name in HEADLINE:
         fn, _sql = reg[name]
-        df = fn(spark, SF_DIR)
-        _consume(df)  # per-query JIT warm-up
-        t0 = time.perf_counter()
-        _consume(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
-    # full pipeline (UDF stages) once, reported as its own entry
+        med, mm = time_df(fn(spark, SF_DIR))
+        timings[name] = round(med, 3)
+        spread[name] = mm
+    # full pipeline (UDF stages), reported as its own entry
     import __spark_entry__ as entry_mod
 
     pipe_df = entry_mod._pipeline_decisions(spark, SF_DIR)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    _consume(pipe_df)  # warm the UDF python workers + JIT
-    t0 = time.perf_counter()
-    _consume(pipe_df)
-    pipe_s = time.perf_counter() - t0
+    pipe_s, pipe_mm = time_df(pipe_df)
     timings["pipeline_decisions"] = round(pipe_s, 3)
+    spread["pipeline_decisions"] = pipe_mm
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else SF_DIR
     result = {
@@ -78,6 +96,9 @@ def run_headline() -> dict:
         "sf": sf,
         "docs_per_sec": round(n_docs / pipe_s, 1) if pipe_s else None,
         "cpus": CPUS,
+        "protocol": f"median of {n_trials} timed runs per query "
+                    "after 1 warm-up run",
+        "spread_min_max": spread,
     }
     spark.stop()
     return result
