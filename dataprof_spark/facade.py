@@ -105,6 +105,42 @@ def _to_df(spark: SparkSession, source: Any) -> DataFrame:
     )
 
 
+def analyze_structure(path: str, max_rows: int | None = None):
+    """Bounded-scan structure report — the reference's cheap first
+    pass (`dataprof-partial/src/lib.rs:63-180` analyze_structure):
+    format/delimiter/encoding diagnosis, exact-or-estimated row count,
+    per-column structural summaries from a ≤ max_rows sample. No
+    Spark job: the pass is bounded by construction, so it runs
+    driver-side (sources/structure.py); use profile() for the full
+    distributed pass once the structure is known."""
+    from dataprof_spark.sources import structure as _structure
+
+    return _structure.analyze_structure(path, max_rows=max_rows)
+
+
+def list_patterns(locale: str | None = None) -> list[dict[str, Any]]:
+    """Enumerate the built-in pattern detectors (reference
+    `dataprof-python/src/lib.rs` list_patterns export): name, regex,
+    category, specificity, locale, min report threshold, and whether
+    a checksum validator backs it. locale filters to patterns valid
+    for that locale (locale-neutral ones always included)."""
+    from dataprof_spark.core.patterns import PATTERN_DEFS
+
+    return [
+        {
+            "name": d.name,
+            "regex": d.regex,
+            "category": d.category,
+            "specificity": d.specificity,
+            "locale": d.locale,
+            "min_threshold": d.min_threshold,
+            "has_validator": d.validator is not None,
+        }
+        for d in PATTERN_DEFS
+        if locale is None or d.locale is None or d.locale == locale
+    ]
+
+
 def profile(
     source: Any,
     *,
@@ -124,45 +160,54 @@ def profile(
     spark = spark or _default_spark()
     meta: dict[str, Any] = {}
     if isinstance(source, str):
-        df, meta = _load_path(spark, source, format, max_rows)
+        df, meta = _load_path(spark, source, format, None)
         name = os.path.basename(source)
     else:
         df = _to_df(spark, source)
-        if max_rows:
-            df = df.limit(max_rows)
         name = type(source).__name__
-    t0 = time.perf_counter()
-    profiles = _profiler.profile(
-        df, use_approx_percentiles=use_approx_percentiles
-    )
-    qrep = None
-    if quality:
-        qrep = _quality.assess(
-            df, key_col=key_col,
-            use_approx_percentiles=use_approx_percentiles,
+    # Centralized cap: limit(max_rows+1) + cache (apply_row_cap) so
+    # (a) truncation provenance is exact — a source with exactly
+    # max_rows rows is NOT reported truncated — and (b) the profiler,
+    # quality, and pattern passes all see the SAME pinned row subset
+    # (LocalLimit row selection is not stable across Spark jobs).
+    cap = _readers.apply_row_cap(df, max_rows) if max_rows else None
+    if cap:
+        df = cap.df
+    try:
+        t0 = time.perf_counter()
+        profiles = _profiler.profile(
+            df, use_approx_percentiles=use_approx_percentiles
         )
-    patterns_scanned = False
-    if patterns:
-        from pyspark.sql import types as T
+        qrep = None
+        if quality:
+            qrep = _quality.assess(
+                df, key_col=key_col,
+                use_approx_percentiles=use_approx_percentiles,
+            )
+        patterns_scanned = False
+        if patterns:
+            from pyspark.sql import types as T
 
-        from dataprof_spark.operators import patterns as _patterns
+            from dataprof_spark.operators import patterns as _patterns
 
-        meta["pattern_matches"] = {
-            f.name: _patterns.detect_column_patterns(df, f.name)
-            for f in df.schema.fields
-            if isinstance(f.dataType, T.StringType)
-        }
-        patterns_scanned = True
+            meta["pattern_matches"] = {
+                f.name: _patterns.detect_column_patterns(df, f.name)
+                for f in df.schema.fields
+                if isinstance(f.dataType, T.StringType)
+            }
+            patterns_scanned = True
+    finally:
+        if cap:
+            cap.release()
     total = profiles[0].total_count if profiles else 0
     execution = {
         "engine": "spark",
         "rows_processed": total,
         "columns_detected": len(profiles),
         "scan_time_sec": round(time.perf_counter() - t0, 3),
-        "truncated": bool(max_rows and total >= max_rows),
+        "truncated": bool(cap and cap.truncated),
         "truncation_reason": (
-            f"max_rows({max_rows})"
-            if max_rows and total >= max_rows else None
+            f"max_rows({max_rows})" if cap and cap.truncated else None
         ),
         **meta,
     }

@@ -201,13 +201,24 @@ class CapResult:
     rows: int
     truncated: bool
     truncation_reason: str | None
+    _cached: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the pinned sample once all passes are done."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
 
 
 def apply_row_cap(df: DataFrame, max_rows: int) -> CapResult:
     """Hard row cap with the reference's truncation-provenance
     contract (stop_condition.rs:14-16, 80-100 and the test
     `a_condition_met_on_the_last_chunk_is_not_a_truncation`):
-    cap == rowcount is NOT truncation — only discarding rows is."""
+    cap == rowcount is NOT truncation — only discarding rows is.
+    The limit(max_rows+1) sample is CACHED, which both answers
+    "did a row get discarded?" exactly and pins one deterministic
+    row subset for every downstream action (LocalLimit row selection
+    is not otherwise guaranteed stable across Spark jobs)."""
     capped = df.limit(max_rows + 1).cache()
     n = capped.count()
     truncated = n > max_rows
@@ -217,6 +228,7 @@ def apply_row_cap(df: DataFrame, max_rows: int) -> CapResult:
         rows=min(n, max_rows),
         truncated=truncated,
         truncation_reason="max_rows" if truncated else None,
+        _cached=capped,
     )
 
 

@@ -79,6 +79,21 @@ def test_max_rows_truncation_provenance(spark):
     assert rep.execution["truncation_reason"] == "max_rows(100)"
 
 
+def test_max_rows_equal_to_source_is_not_truncation(spark):
+    """A cap that exactly equals the source row count reads every row
+    — claiming truncation there is a false positive (the facade used
+    to infer it from total >= max_rows; now apply_row_cap reads
+    max_rows+1 and only reports truncation when the extra row
+    exists)."""
+    import dataprof_spark.facade as facade
+
+    df = spark.range(100).toDF("v")
+    rep = facade.profile(df, spark=spark, max_rows=100, quality=False)
+    assert rep.execution["rows_processed"] == 100
+    assert rep.execution["truncated"] is False
+    assert rep.execution["truncation_reason"] is None
+
+
 def test_report_exports_work_end_to_end(spark, tmp_path):
     rep = dp.profile(f"{SF_DIR}/orders.parquet", spark=spark)
     assert len(rep.to_dataframe()) == len(rep.columns)
