@@ -221,6 +221,7 @@ def profile_files_incrementally(
     condition: StopCondition,
     reader=None,
     estimated_total_rows: int | None = None,
+    progress_sink=None,
 ):
     """Chunk-at-a-time incremental profile driver: one FILE per chunk
     (Spark's natural streaming granularity — also what
@@ -244,20 +245,44 @@ def profile_files_incrementally(
     consumed = []
     prev_fp = None
     stopped_early = False
+    if progress_sink:
+        # reference ProgressEvent lifecycle: Started once before data
+        progress_sink.started(estimated_total_rows=estimated_total_rows)
     for i, p in enumerate(paths):
         df = reader(p)
         consumed.append(df)
         fp = drift.schema_fingerprint(drift.infer_batch_types(df))
         changed = prev_fp is not None and fp != prev_fp
         prev_fp = fp
+        n = df.count()
+        nbytes = os.path.getsize(p) if os.path.exists(p) else 0
         ev.update(
-            chunk_rows=df.count(),
-            chunk_bytes=os.path.getsize(p) if os.path.exists(p) else 0,
+            chunk_rows=n,
+            chunk_bytes=nbytes,
             schema_changed=changed,
         )
+        if progress_sink:
+            if i == 0:
+                progress_sink.schema(df.columns)
+            if changed:
+                progress_sink.warning(f"schema changed at chunk {i}: {p}")
+            pct = (
+                round(100.0 * ev.state.rows / estimated_total_rows, 1)
+                if estimated_total_rows else None
+            )
+            progress_sink.chunk(
+                rows_processed=ev.state.rows,
+                bytes_consumed=ev.state.bytes,
+                percentage=pct,
+            )
         if ev.should_stop and i < len(paths) - 1:
             stopped_early = True
             break
+    if progress_sink:
+        progress_sink.finished(
+            total_rows=ev.state.rows, total_bytes=ev.state.bytes,
+            truncated=stopped_early,
+        )
     out = consumed[0]
     for df in consumed[1:]:
         out = out.unionByName(df, allowMissingColumns=True)

@@ -142,6 +142,7 @@ def run(
     n_buckets: int = N_BUCKETS_DEFAULT,
     ts_col: str | None = "warc_ts",
     max_partitions: int | None = None,
+    progress_sink=None,
 ) -> list[dict]:
     """Process all not-yet-done partitions in ONE write job; returns
     the new manifest rows.
@@ -171,7 +172,13 @@ def run(
     if max_partitions is not None:
         pending = pending[:max_partitions]
     if not pending:
+        if progress_sink:
+            progress_sink.started()
+            progress_sink.finished(total_rows=0, truncated=False)
         return []
+    if progress_sink:
+        progress_sink.started()
+        progress_sink.schema(pages.columns)
 
     keyed = with_part_key(pages, n_buckets)
     if done or max_partitions is not None:
@@ -184,14 +191,26 @@ def run(
     # Dynamic partition overwrite = Iceberg overwrite-by-partition:
     # only the pending part_key dirs are replaced, done ones untouched.
     dest = os.path.join(out_dir, "decisions")
-    (
-        decisions.repartition(len(pending), "part_key")
-        .sortWithinPartitions("part_key", "url")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part_key")
-        .parquet(dest)
-    )
+
+    def _write() -> None:
+        (
+            decisions.repartition(len(pending), "part_key")
+            .sortWithinPartitions("part_key", "url")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_key")
+            .parquet(dest)
+        )
+
+    if progress_sink:
+        # chunk events WHILE the single distributed job runs, from
+        # SparkStatusTracker (PySpark's listener-style monitoring API)
+        from dataprof_spark.progress import JobProgressPoller
+
+        with JobProgressPoller(pages.sparkSession, progress_sink):
+            _write()
+    else:
+        _write()
 
     # Manifest counters: a CONSTANT number of small aggregations over
     # the freshly written output (partition-pruned to pending buckets,
@@ -257,6 +276,15 @@ def run(
         }
         _write_manifest(out_dir, row)
         rows.append(row)
+    if progress_sink:
+        # truncated = pending partitions exist that this run did not
+        # process (the max_partitions kill-simulation path)
+        left_over = n_buckets - len(done) - len(pending)
+        progress_sink.finished(
+            total_rows=sum(r["docs_in"] for r in rows),
+            total_bytes=sum(r["bytes_in"] for r in rows),
+            truncated=left_over > 0,
+        )
     return rows
 
 
