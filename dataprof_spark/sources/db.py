@@ -120,19 +120,50 @@ def _source(base: str) -> tuple[str, bool]:
 
 @dataclass
 class SamplingConfig:
-    """Sampling pushdown configuration (sampling.rs:8-45)."""
+    """Sampling pushdown configuration (sampling.rs:8-45).
+
+    ``dialect``: 'ansi' (default) emits the reference's SQL verbatim
+    (DuckDB-oracle-verified); 'derby' emits the equivalent for Apache
+    Derby — MOD() for %, FETCH FIRST for LIMIT, RAND(seed) for
+    RANDOM(seed), correlation-qualified stars — so the generated SQL
+    can be EXECUTED live through spark.read.jdbc against the Derby
+    driver Spark bundles (tests/test_db_sampling.py). Derby's window
+    functions accept only an empty OVER(), so temporal/stratified
+    (which need OVER(ORDER BY ...)) are refused with a clear error
+    rather than generated-and-broken."""
 
     strategy: str = "reservoir"  # random|systematic|reservoir|stratified|temporal|multistage
     sample_size: int = 10_000
     seed: int | None = None
     stratify_column: str | None = None
     temporal_column: str | None = None
+    dialect: str = "ansi"
     extra: dict = field(default_factory=dict)
+
+    # dialect helpers -------------------------------------------------
+    def _limit(self, n: int) -> str:
+        if self.dialect == "derby":
+            return f"FETCH FIRST {n} ROWS ONLY"
+        return f"LIMIT {n}"
+
+    def _mod(self, a: str, b: int) -> str:
+        if self.dialect == "derby":
+            return f"MOD({a}, {b})"
+        return f"{a} % {b}"
+
+    def _rand(self, seed: int) -> str:
+        if self.dialect == "derby":
+            return f"RAND({seed})"
+        return f"RANDOM({seed})"
 
     def generate_sample_query(self, base: str, total_rows: int) -> str:
         """The SQL to run server-side (sampling.rs:84-157). When the
         table is no larger than the sample, the base query passes
         through unchanged."""
+        if self.dialect not in ("ansi", "derby"):
+            raise SqlValidationError(
+                f"unknown SQL dialect {self.dialect!r}"
+            )
         if total_rows <= self.sample_size:
             return (
                 validate_base_query(base)
@@ -144,8 +175,8 @@ class SamplingConfig:
         seed = self.seed if self.seed is not None else 42
         if strat == "random":
             return (
-                f"SELECT * FROM {src} ORDER BY RANDOM({seed}) "
-                f"LIMIT {self.sample_size}"
+                f"SELECT * FROM {src} ORDER BY {self._rand(seed)} "
+                f"{self._limit(self.sample_size)}"
             )
         if strat in ("systematic", "multistage"):
             # MultiStage degrades to Systematic at the SQL layer
@@ -153,17 +184,21 @@ class SamplingConfig:
             # with the refusal contract lives in operators/sampling.py.
             step = math.ceil(total_rows / self.sample_size)
             inner = f"({validate_base_query(base)})" if is_sub else src
+            star = "base.*" if self.dialect == "derby" else "*"
+            alias = " base" if self.dialect == "derby" else ""
             return (
-                "SELECT * FROM (SELECT *, ROW_NUMBER() OVER () AS rn "
-                f"FROM {inner}) AS numbered WHERE rn % {step} = 1"
+                f"SELECT * FROM (SELECT {star}, ROW_NUMBER() OVER () AS rn "
+                f"FROM {inner}{alias}) AS numbered "
+                f"WHERE {self._mod('rn', step)} = 1"
             )
         if strat == "reservoir":
-            if is_sub:
-                # TABLESAMPLE needs a physical table; subqueries fall
-                # back to seeded-random (sampling.rs:160-169)
+            if is_sub or self.dialect == "derby":
+                # TABLESAMPLE needs a physical table (and Derby has no
+                # TABLESAMPLE at all); fall back to seeded-random
+                # (sampling.rs:160-169)
                 return (
-                    f"SELECT * FROM {src} ORDER BY RANDOM({seed}) "
-                    f"LIMIT {self.sample_size}"
+                    f"SELECT * FROM {src} ORDER BY {self._rand(seed)} "
+                    f"{self._limit(self.sample_size)}"
                 )
             # floor the percentage at 0.01: ":.2f" formatting rounds
             # tiny fractions (10k rows of 10^9+) to 0.00, sampling
@@ -175,11 +210,20 @@ class SamplingConfig:
                 f"SELECT * FROM {src} TABLESAMPLE SYSTEM ({pct:.2f}) "
                 f"LIMIT {self.sample_size}"
             )
+        if strat in ("stratified", "temporal") and self.dialect == "derby":
+            if strat == "stratified" and not self.stratify_column:
+                pass  # degrades to random below — derby-safe
+            else:
+                raise SqlValidationError(
+                    f"{strat} sampling needs ROW_NUMBER() OVER(ORDER "
+                    "BY ...), which Apache Derby does not implement "
+                    "(ERROR 0A000); use systematic or random"
+                )
         if strat == "stratified":
             if not self.stratify_column:
                 return SamplingConfig(
                     strategy="random", sample_size=self.sample_size,
-                    seed=self.seed,
+                    seed=self.seed, dialect=self.dialect,
                 ).generate_sample_query(base, total_rows)
             col = validate_identifier(self.stratify_column)
             per_stratum = max(1, self.sample_size // 10)
@@ -230,13 +274,15 @@ def read_db_sample(
     """
     config = config or SamplingConfig()
     if total_rows is None:
+        # positional: engines disagree on alias case (Derby uppercases
+        # unquoted identifiers, so the row key is "N" not "n")
         total_rows = (
             spark.read.format("jdbc")
             .option("url", jdbc_url)
             .option("query", count_query(base))
             .options(**jdbc_options)
             .load()
-            .collect()[0]["n"]
+            .collect()[0][0]
         )
     sql = config.generate_sample_query(base, total_rows)
     return (
