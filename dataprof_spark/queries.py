@@ -70,15 +70,26 @@ def _micro(c) -> F.Column:
 
 
 def DSUM(c) -> F.Column:
-    """Order-insensitive ``round(sum(x), 6)`` via exact micro-unit
-    long accumulation. SQL twin: dsum_sql()."""
+    """Order-insensitive QUANTIZE-THEN-SUM to 6 decimals — NOT
+    ``round(sum(x), 6)``: each value is rounded to the nearest 1e-6
+    BEFORE summation, so vs round-after-sum the result can drift by
+    up to n*5e-7 for values that are not exact micro-unit multiples
+    (at most 0.5 micro-unit of representation error per row). The
+    trade is determinism: both engines compute the identical integer
+    function of the multiset, so the driver's value-hash comparison
+    holds bit-for-bit regardless of partitioning or merge order,
+    which float round-after-sum cannot guarantee. Error bound and the
+    2^63 magnitude ceiling live in the block comment above.
+    SQL twin: dsum_sql()."""
     return F.round(F.sum(_micro(c)) / F.lit(float(_SCALE)), 6)
 
 
 def DAVG(c) -> F.Column:
-    """Order-insensitive ``round(avg(x), 6)``: exact micro-unit sum,
-    then double divisions in a fixed order — identical operands give
-    identical IEEE results on every engine. SQL twin: davg_sql()."""
+    """Order-insensitive quantize-then-average to 6 decimals (same
+    per-row 1e-6 quantization and drift bound as DSUM): exact
+    micro-unit sum, then double divisions in a fixed order —
+    identical operands give identical IEEE results on every engine.
+    SQL twin: davg_sql()."""
     cc = F.col(c) if isinstance(c, str) else c
     return F.round(
         F.sum(_micro(cc)).cast("double") / F.count(cc)

@@ -37,6 +37,7 @@ class HttpRangeFile:
     url: str
     _pos: int = 0
     _size: int | None = None
+    _full_body: bytes | None = None
     requests_made: int = field(default=0)
     bytes_fetched: int = field(default=0)
 
@@ -79,6 +80,13 @@ class HttpRangeFile:
         end = self.size() - 1 if nbytes is None else start + nbytes - 1
         if end < start:
             return b""
+        if self._full_body is not None:
+            # a previous 200 proved the server ignores Range: serve
+            # every later read from the cached body instead of
+            # re-downloading the whole file per pyarrow probe
+            data = self._full_body[start:end + 1]
+            self._pos += len(data)
+            return data
         req = urllib.request.Request(
             self.url, headers={"Range": f"bytes={start}-{end}"}
         )
@@ -88,8 +96,23 @@ class HttpRangeFile:
         self.requests_made += 1
         self.bytes_fetched += len(data)  # honest wire accounting
         if status == 200:
-            # server ignored Range (some plain file servers do):
-            # fall back to slicing the full body
+            # Server ignored Range (some plain file servers do).
+            # ADVICE r3: without caching, EVERY read re-downloads the
+            # full body (pyarrow issues several for tail/footer/
+            # readahead) and the footer-only guarantee silently
+            # degrades to N full downloads. Cache the body once, warn
+            # once, and serve all later reads locally — counters still
+            # record the one real download.
+            import warnings
+
+            warnings.warn(
+                f"server at {self.url} ignored the Range header; "
+                "footer-only access degraded to ONE full download "
+                "(body cached for subsequent reads)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            self._full_body = data
             data = data[start:end + 1]
         self._pos += len(data)
         return data

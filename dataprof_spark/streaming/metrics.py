@@ -46,10 +46,17 @@ def run_gated_stream(
     run_id: str = "stream",
     timeout_s: int = 300,
 ) -> None:
-    """availableNow gated run: decisions + per-batch metrics appended
-    atomically from the same foreachBatch (exactly-once per batch via
-    Spark's streaming checkpoint; an interrupted run resumes at the
-    failed batch and overwrites nothing)."""
+    """availableNow gated run: decisions + per-batch metrics written
+    IDEMPOTENTLY from the same foreachBatch.
+
+    foreachBatch is at-least-once: a crash after a write but before
+    the streaming checkpoint commits replays the batch (ADVICE r3).
+    Blind appends would then duplicate rows undetectably and break
+    the conservation law. Both tables therefore carry batch_id and
+    are written with dynamic partition overwrite on it — a replayed
+    batch overwrites its own partition with identical content
+    (gates.decide is deterministic per document), so the net effect
+    is exactly-once regardless of where a kill lands."""
     decisions_dir = os.path.join(out_dir, "decisions")
     metrics_dir = os.path.join(out_dir, "metrics")
     ckpt_dir = os.path.join(out_dir, "_stream_checkpoint")
@@ -58,11 +65,17 @@ def run_gated_stream(
         out = gates.decide(batch_df).select(
             "url", "keep", "drop_reason",
             F.length("scrubbed_text").alias("scrubbed_len"),
+            F.lit(batch_id).alias("batch_id"),
         )
         # cache: decisions parquet + metrics agg share one compute
         out = out.cache()
         try:
-            out.write.mode("append").parquet(decisions_dir)
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(decisions_dir)
+            )
             (
                 out.groupBy(
                     F.coalesce("drop_reason", F.lit("kept"))
@@ -71,7 +84,9 @@ def run_gated_stream(
                 .agg(F.count(F.lit(1)).alias("n_docs"))
                 .withColumn("batch_id", F.lit(batch_id))
                 .withColumn("run_id", F.lit(run_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(metrics_dir)
             )
         finally:

@@ -100,3 +100,53 @@ def test_column_pruning_reduces_bytes(spark, http_base):
     one_f = remote.HttpRangeFile(url)
     pq.ParquetFile(one_f).read(columns=["l_orderkey"])
     assert one_f.bytes_fetched < all_f.bytes_fetched
+
+
+class _NoRangeHandler(_RangeHandler):
+    """Server that IGNORES Range (SimpleHTTPRequestHandler behavior):
+    always 200 + full body."""
+
+    def do_GET(self):
+        with open(self._path(), "rb") as f:
+            body = f.read()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def norange_base():
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _NoRangeHandler
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_range_ignoring_server_downloads_once(norange_base):
+    """ADVICE r3: when a server ignores Range, every read used to
+    re-download the full body (pyarrow issues several reads for
+    tail/footer/readahead). The first 200 now caches the body, warns,
+    and serves later reads locally — exactly ONE full download on the
+    wire regardless of read count."""
+    import os as _os
+    import warnings
+
+    import pyarrow.parquet as pq
+
+    url = f"{norange_base}/sf0.01/nation.parquet"
+    size = _os.path.getsize("/root/testdata/sf0.01/nation.parquet")
+    f = remote.HttpRangeFile(url)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        meta = pq.ParquetFile(f).metadata
+    assert meta.num_rows > 0
+    assert any("ignored the Range header" in str(w.message)
+               for w in caught)
+    # one HEAD + one full GET; the GET body equals the file size and
+    # is fetched exactly once even though pyarrow read several ranges
+    assert f.bytes_fetched == size
+    assert f.requests_made == 2

@@ -96,3 +96,29 @@ def test_stream_restart_is_idempotent(spark, pages_dir, tmp_path):
     assert spark.read.parquet(os.path.join(out, "decisions")).count() == 600
     met = sm.read_stream_metrics(spark, out)
     assert met.agg(F.sum("n_docs")).collect()[0][0] == 600
+
+
+def test_replay_after_lost_checkpoint_no_duplicates(
+    spark, pages_dir, tmp_path
+):
+    """ADVICE r3 (medium): foreachBatch is at-least-once — a crash
+    after a write but before the checkpoint commit replays the batch.
+    Worst case is a LOST checkpoint (every batch replays). With
+    batch_id dynamic-partition overwrite the replay overwrites its
+    own partitions with identical content, so decisions and metrics
+    stay exactly-once and the conservation law holds."""
+    import shutil
+
+    out = str(tmp_path / "gated3")
+    sm.run_gated_stream(
+        sm.read_page_stream(spark, pages_dir), out, run_id="t3"
+    )
+    shutil.rmtree(os.path.join(out, "_stream_checkpoint"))
+    sm.run_gated_stream(
+        sm.read_page_stream(spark, pages_dir), out, run_id="t3"
+    )
+    dec = spark.read.parquet(os.path.join(out, "decisions"))
+    assert dec.count() == 600
+    assert dec.select("url").distinct().count() == 600
+    met = sm.read_stream_metrics(spark, out)
+    assert met.agg(F.sum("n_docs")).collect()[0][0] == 600
