@@ -151,34 +151,61 @@ def heuristic_reason(c: Column, *, english: Column | bool = True) -> Column:
     """First-failing-gate drop reason (native twin of
     core.gates.heuristic_reason); NULL when the document passes.
     NULL text is normalized to empty (drops as too_short), matching
-    the labeler."""
+    the labeler.
+
+    Expression form (r4): a kept document evaluates EVERY branch of
+    the CASE, and the naive composition ran the [A-Za-z]+ regex three
+    times per row (word_count in three conditions) plus separate
+    letter-translate and stopword-extraction passes — Catalyst has no
+    CSE inside an expression tree. The word-run array is now
+    extracted ONCE (bind_once) and wc/letters/mean-word-length/
+    stopword-count all derive from it with O(words) array ops:
+    size(), length(concat_ws()) — every letter is inside a word run
+    by definition, so summed run length == letter_count. Definition
+    unchanged; parity pinned by test_exprs_parity + the doc_gates
+    oracle + test_pipeline_parity (F1)."""
     c = F.coalesce(c, F.lit(""))
     eng = F.lit(english) if isinstance(english, bool) else english
-    wc = word_count(c)
-    mwl = mean_word_length(c)
-    return (
-        F.when(mojibake_count(c) > 0, F.lit("garbled_encoding"))
-        .when(wc < config.MIN_WORDS, F.lit("too_short"))
-        .when(
-            (mwl < config.MEAN_WORD_LEN_MIN)
-            | (mwl > config.MEAN_WORD_LEN_MAX),
-            F.lit("mean_word_length"),
+
+    def _reason(t: Column) -> Column:
+        words = F.regexp_extract_all(F.lower(t), F.lit(WORD_PAT), F.lit(0))
+        return bind_once(words, lambda ws: _reason_from(t, ws, eng))
+
+    def _reason_from(t: Column, ws: Column, eng: Column) -> Column:
+        wc = F.size(ws).cast("long")
+        letters = F.length(F.concat_ws("", ws)).cast("long")
+        mwl = F.when(wc > 0, letters / wc).otherwise(F.lit(0.0))
+        stopwords = F.size(
+            F.filter(ws, lambda x: x.isin(*config.STOPWORDS_EN))
+        ).cast("long")
+        return (
+            F.when(mojibake_count(t) > 0, F.lit("garbled_encoding"))
+            .when(wc < config.MIN_WORDS, F.lit("too_short"))
+            .when(
+                (mwl < config.MEAN_WORD_LEN_MIN)
+                | (mwl > config.MEAN_WORD_LEN_MAX),
+                F.lit("mean_word_length"),
+            )
+            .when(
+                symbol_ratio(t) > config.MAX_SYMBOL_RATIO,
+                F.lit("symbol_ratio"),
+            )
+            .when(
+                ellipsis_count(t) / wc > config.MAX_ELLIPSIS_PER_WORD,
+                F.lit("ellipsis_ratio"),
+            )
+            .when(
+                eng & (stopwords < config.MIN_STOPWORD_COUNT),
+                F.lit("stopword_ratio"),
+            )
+            .when(
+                dup_line_fraction(t) > config.MAX_DUP_LINE_FRACTION,
+                F.lit("dup_line_fraction"),
+            )
+            .otherwise(F.lit(None).cast("string"))
         )
-        .when(symbol_ratio(c) > config.MAX_SYMBOL_RATIO, F.lit("symbol_ratio"))
-        .when(
-            ellipsis_count(c) / wc > config.MAX_ELLIPSIS_PER_WORD,
-            F.lit("ellipsis_ratio"),
-        )
-        .when(
-            eng & (stopword_count(c) < config.MIN_STOPWORD_COUNT),
-            F.lit("stopword_ratio"),
-        )
-        .when(
-            dup_line_fraction(c) > config.MAX_DUP_LINE_FRACTION,
-            F.lit("dup_line_fraction"),
-        )
-        .otherwise(F.lit(None).cast("string"))
-    )
+
+    return bind_once(c, _reason)
 
 
 def token_set_hits(c: Column, words: tuple[str, ...]) -> Column:
