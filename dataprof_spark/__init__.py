@@ -18,6 +18,83 @@ Design stance (SURVEY.md §7.0):
 __version__ = "0.1.0"
 
 
+def capabilities():
+    """Side-effect-free snapshot of features available in this
+    installation — the reference's `dataprof.capabilities()`
+    (python/dataprof/__init__.py:133-170) recast for the Spark
+    deployment: optional Python packages are discovered without
+    importing them; JDBC connectors are discovered by scanning the
+    Spark distribution's jars directory (the classpath
+    spark.read.jdbc actually uses)."""
+    import importlib.util as _ilu
+    import os as _os
+    from dataclasses import dataclass as _dc
+
+    def _installed(mod: str) -> bool:
+        try:
+            return _ilu.find_spec(mod) is not None
+        except (AttributeError, ImportError, ValueError):
+            return False
+
+    connectors: tuple = ()
+    iceberg = False
+    try:
+        import pyspark as _ps
+
+        jars = _os.path.join(_os.path.dirname(_ps.__file__), "jars")
+        names = _os.listdir(jars)
+        known = ("derby", "postgresql", "mysql", "sqlite-jdbc", "h2-")
+        connectors = tuple(
+            sorted({k.rstrip("-") for k in known
+                    for n in names if n.startswith(k)})
+        )
+        iceberg = any("iceberg-spark-runtime" in n for n in names)
+    except Exception:
+        pass
+
+    @_dc(frozen=True, slots=True)
+    class Capabilities:
+        version: str
+        local_csv: bool
+        local_json: bool
+        local_jsonl: bool
+        local_parquet: bool
+        pandas_interop: bool
+        pandas_installed: bool
+        polars_interop: bool
+        polars_installed: bool
+        arrow_interop: bool
+        pyarrow_installed: bool
+        structured_streaming: bool
+        url_profiling: bool
+        remote_parquet: bool
+        database: bool
+        database_connectors: tuple
+        iceberg_runtime: bool
+        multimodal_codecs: bool
+
+    return Capabilities(
+        version=__version__,
+        local_csv=True,
+        local_json=True,
+        local_jsonl=True,
+        local_parquet=True,
+        pandas_interop=True,
+        pandas_installed=_installed("pandas"),
+        polars_interop=True,
+        polars_installed=_installed("polars"),
+        arrow_interop=True,
+        pyarrow_installed=_installed("pyarrow"),
+        structured_streaming=True,
+        url_profiling=True,   # sources/remote.py HTTP Range reader
+        remote_parquet=True,  # footer-first http_parquet_schema
+        database=bool(connectors),
+        database_connectors=connectors,
+        iceberg_runtime=iceberg,
+        multimodal_codecs=_installed("PIL"),  # codecs stub without it
+    )
+
+
 def profile(source, **opts):
     """Top-level facade — see dataprof_spark.facade.profile (the
     reference's `dp.profile(source, **opts)` entry point). Imported

@@ -292,3 +292,52 @@ def read_db_sample(
         .options(**jdbc_options)
         .load()
     )
+
+
+def test_connection(
+    spark, jdbc_url: str, timeout_s: int = 5, driver: str | None = None
+) -> bool:
+    """Connection validity check — sync twin of the reference's
+    test_connection_async (database_async.rs:112-145): open, validate,
+    close. Uses java.sql.DriverManager through the running session's
+    JVM, so it exercises the exact driver/classpath spark.read.jdbc
+    will use. False on any failure (never raises)."""
+    try:
+        jvm = spark._jvm
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
+        try:
+            return bool(conn.isValid(timeout_s))
+        finally:
+            conn.close()
+    except Exception:
+        return False
+
+
+def table_schema(spark, jdbc_url: str, table: str, **jdbc_options) -> list[str]:
+    """Column names for a table — twin of get_table_schema_async
+    (database_async.rs:172-199, returns Vec<String>). Spark fetches
+    the schema with a zero-row probe (SELECT * ... WHERE 1=0) —
+    no data crosses the wire."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url)
+        .option("dbtable", validate_identifier(table))
+        .options(**jdbc_options)
+        .load()
+        .columns
+    )
+
+
+def count_table_rows(spark, jdbc_url: str, table: str, **jdbc_options) -> int:
+    """Server-side COUNT(*) — twin of count_table_rows_async; one
+    scalar crosses the wire."""
+    return int(
+        spark.read.format("jdbc")
+        .option("url", jdbc_url)
+        .option("query", count_query(table))
+        .options(**jdbc_options)
+        .load()
+        .collect()[0][0]
+    )

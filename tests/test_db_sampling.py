@@ -264,3 +264,33 @@ def test_ansi_sql_unchanged_by_dialect_layer():
         strategy="systematic", sample_size=10
     ).generate_sample_query("events", 100)
     assert "rn % 10 = 1" in sys_q and "base" not in sys_q
+
+
+def test_jdbc_live_connection_schema_count(spark, derby_url):
+    """Sync twins of the reference's database_async helpers, live:
+    test_connection (DriverManager.isValid through the session JVM),
+    table_schema (zero-row probe), count_table_rows."""
+    assert db.test_connection(
+        spark, derby_url,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    ) is True
+    assert db.test_connection(spark, "jdbc:derby:/nonexistent/db") is False
+    cols = db.table_schema(spark, derby_url, "events", **_DERBY_OPTS)
+    assert cols == ["ID", "TS", "VAL"]
+    assert db.count_table_rows(
+        spark, derby_url, "events", **_DERBY_OPTS
+    ) == 100
+
+
+def test_capabilities_snapshot():
+    import dataprof_spark as dp
+
+    caps = dp.capabilities()
+    assert caps.version == dp.__version__
+    assert caps.local_parquet and caps.arrow_interop
+    assert caps.pyarrow_installed and caps.pandas_installed
+    # this container: Derby ships with Spark; PIL and Iceberg do not
+    assert "derby" in caps.database_connectors
+    assert caps.database is True
+    assert caps.multimodal_codecs is False
+    assert caps.iceberg_runtime is False
