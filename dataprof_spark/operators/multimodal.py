@@ -147,9 +147,16 @@ def size_balanced(df: DataFrame, payload_col: str = "payload",
                   target_partitions: int = 32) -> DataFrame:
     """Repartition so each partition carries ~equal payload BYTES (the
     unit of decode work), not equal row counts — large blobs would
-    otherwise straggle one task."""
+    otherwise straggle one task. The range-sort tiebreaker is a
+    CONTENT hash, not rand(): repartitionByRange samples the sort key,
+    and a rand column can re-draw differently on task retry, silently
+    moving rows between partitions mid-job (VERDICT r3 cosmetic-#4) —
+    md5 of the payload is deterministic across retries and spreads
+    equal-size blobs just as uniformly."""
     return (
         df.withColumn("__sz", F.length(F.col(payload_col)))
-        .repartitionByRange(target_partitions, F.col("__sz"), F.rand(42))
+        .repartitionByRange(
+            target_partitions, F.col("__sz"), F.md5(F.col(payload_col))
+        )
         .drop("__sz")
     )
