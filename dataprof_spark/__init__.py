@@ -102,3 +102,26 @@ def profile(source, **opts):
     from dataprof_spark.facade import profile as _profile
 
     return _profile(source, **opts)
+
+
+def analyze_to_arrow(source, **opts):
+    """Profile + hand the per-column statistics off as a pyarrow
+    Table (reference analyze_csv_to_arrow / analyze_parquet_to_arrow)."""
+    from dataprof_spark.facade import analyze_to_arrow as _f
+
+    return _f(source, **opts)
+
+
+def analyze_structure(path, max_rows=None):
+    """Bounded-scan structure report (reference analyze_structure) —
+    no Spark session needed."""
+    from dataprof_spark.facade import analyze_structure as _f
+
+    return _f(path, max_rows=max_rows)
+
+
+def list_patterns(locale=None):
+    """Built-in pattern-detector inventory (reference list_patterns)."""
+    from dataprof_spark.facade import list_patterns as _f
+
+    return _f(locale=locale)

@@ -141,6 +141,15 @@ def list_patterns(locale: str | None = None) -> list[dict[str, Any]]:
     ]
 
 
+def analyze_to_arrow(source: Any, **opts):
+    """Profile a source and return the per-column statistics as a
+    pyarrow Table — the reference's analyze_csv_to_arrow /
+    analyze_parquet_to_arrow (arrow_export.rs:308-340) unified behind
+    the facade's format dispatch: zero-copy hand-off of the ANALYSIS
+    RESULTS to pandas/polars, not of the data."""
+    return profile(source, **opts).to_arrow()
+
+
 def profile(
     source: Any,
     *,
