@@ -172,13 +172,22 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured crossover, disclosed: sf1 1.85→1.08 s (orders too big to
     broadcast cheaply), sf0.1 0.55→0.73 s (everything broadcasts
     either way; the extra AQE stage materialization costs ~0.2 s
-    fixed). The 100 TB bar decides: one fact shuffle beats two."""
+    fixed). The 100 TB bar decides: one fact shuffle beats two.
+
+    The customer join is LEFT SEMI (r4): customer contributes no
+    output column — it only filters orders — and c_custkey is the PK,
+    so inner ≡ semi row-for-row (the DuckDB oracle keeps the inner
+    join and the hash-compare would catch any divergence). Semi
+    carries no customer columns into the fact join and claws back
+    most of the small-scale stage cost: sf0.1 0.91→0.66 s paired."""
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    oc = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    oc = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_semi"
+    )
     return (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy(
