@@ -34,6 +34,9 @@ FLOAT_SUM_QUERIES = [
     "events_hourly",
     "rollup_order_totals",
     "window_supplier_running",
+    # not a float-sum shape, but new in r4 and driver-facing: pin the
+    # synthesized-clone demotion pipeline at the driver's scale too
+    "dedup_demotion_decisions",
     # retired from the driver window but still shipped:
     "q6_forecast_revenue",
     "q10_returned_revenue",
