@@ -390,7 +390,10 @@ if __name__ == "__main__":
         p.map(_measure, range(8))  # warm-up; also joins all inits
         open(os.path.join(bdir, f"ready_{os.getpid()}"), "w").close()
         go = os.path.join(bdir, "go")
+        deadline = time.time() + 120
         while not os.path.exists(go):
+            if time.time() > deadline:
+                sys.exit(3)  # parent died / never released the barrier
             time.sleep(0.02)
         t0 = time.perf_counter()
         p.map(_measure, range(8))
@@ -414,6 +417,14 @@ def memory_bandwidth_probe() -> dict:
     import tempfile
 
     core_sets = ["0-7", "8-15", "16-23", "24-31"]
+    # the pinned groups assume cores 0-31 exist and the 4-group phase
+    # allocates ~12 GiB of numpy arrays — refuse cleanly rather than
+    # hang on a smaller host (ADVICE r4)
+    if (os.cpu_count() or 0) < 32:
+        return {
+            "skipped": f"needs >=32 CPUs for pinned groups, "
+                       f"host has {os.cpu_count()}",
+        }
 
     def phase(groups):
         bdir = tempfile.mkdtemp(prefix="bwprobe_")
@@ -424,14 +435,26 @@ def memory_bandwidth_probe() -> dict:
             )
             for c in groups
         ]
+        # bounded wait with child-liveness checks: a dead worker (bad
+        # taskset mask, OOM) must fail the probe, not hang it
+        deadline = time.time() + 120
         while (
             len([f for f in os.listdir(bdir) if f.startswith("ready")])
             < len(procs)
         ):
+            dead = [p for p in procs if p.poll() not in (None, 0)]
+            if dead or time.time() > deadline:
+                for p in procs:
+                    p.kill()
+                why = (
+                    f"worker exited rc={dead[0].returncode}" if dead
+                    else "readiness deadline (120s) passed"
+                )
+                raise RuntimeError(f"bandwidth probe failed: {why}")
             time.sleep(0.05)
         open(os.path.join(bdir, "go"), "w").close()
         return sum(
-            float(p.communicate()[0].strip().splitlines()[-1])
+            float(p.communicate(timeout=300)[0].strip().splitlines()[-1])
             for p in procs
         )
 
@@ -440,7 +463,10 @@ def memory_bandwidth_probe() -> dict:
         bw4 = phase(core_sets)
         return bw1, bw4, (bw4 / bw1) / 4
 
-    a1, a2 = attempt(), attempt()
+    try:
+        a1, a2 = attempt(), attempt()
+    except (RuntimeError, subprocess.TimeoutExpired, ValueError) as e:
+        return {"skipped": f"probe error: {e}"}
     bw1, bw4, eff = max((a1, a2), key=lambda t: t[2])
     return {
         "bw_1group_gbs": round(bw1, 1),
@@ -660,6 +686,9 @@ def run_scaling(out_path: str = "BENCH/BASELINE.md") -> dict:
             f"**Normalized efficiency (spark / ceiling): "
             f"{execs['normalized_eff']}** — the cluster-predictive "
             "number.\n\n"
+            + (
+                "**Independent hardware probe: skipped** "
+                f"({dram['skipped']}).\n\n" if "skipped" in dram else
             "**Independent hardware probe (STREAM-add DRAM bandwidth, "
             "no Spark/JVM/pipeline code):** one pinned 8-core group "
             f"alone sustains {dram['bw_1group_gbs']} GB/s; all four "
@@ -673,7 +702,8 @@ def run_scaling(out_path: str = "BENCH/BASELINE.md") -> dict:
             "0.7-0.8 raw — far ABOVE the pure-bandwidth ceiling — "
             "shows it is compute-bound, not bus-bound; the residual "
             "gap to 1.0 is the hardware term the probe quantifies.\n\n"
-            "## Secondary: thread scaling inside ONE JVM\n\n"
+            )
+            + "## Secondary: thread scaling inside ONE JVM\n\n"
             "| master | wall (s) | docs/sec |\n|---|---|---|\n"
             f"| local[8] | {t8} | {d8} |\n"
             f"| local[32] | {t32} | {d32} |\n\n"

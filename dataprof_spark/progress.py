@@ -93,8 +93,16 @@ class ProgressSink:
         self.events: list[ProgressEvent] = []
         self._t0 = time.perf_counter()
         self._last_chunk = -1e9
+        # emits arrive from two threads (JobProgressPoller's daemon
+        # thread + the main thread's lifecycle events); RLock so a
+        # subclass emit() may call back into locked methods (ADVICE r4)
+        self._lock = threading.RLock()
 
     def emit(self, ev: ProgressEvent) -> None:
+        with self._lock:
+            self._emit_locked(ev)
+
+    def _emit_locked(self, ev: ProgressEvent) -> None:
         now = time.perf_counter()
         if ev.kind == "chunk":
             if now - self._last_chunk < self.min_interval_s:
@@ -175,27 +183,29 @@ class MetricsTableSink(ProgressSink):
         self._buffer: list[dict] = []
 
     def emit(self, ev: ProgressEvent) -> None:
-        n_before = len(self.events)
-        super().emit(ev)
-        if len(self.events) == n_before:  # rate-limited out
-            return
-        self._buffer.append(self.events[-1].to_row(self.run_id))
+        with self._lock:
+            n_before = len(self.events)
+            self._emit_locked(ev)
+            if len(self.events) == n_before:  # rate-limited out
+                return
+            self._buffer.append(self.events[-1].to_row(self.run_id))
         # one append per lifecycle event; chunk rows are buffered and
         # land with the next non-chunk event (bounded write count)
         if ev.kind != "chunk":
             self.flush()
 
     def flush(self) -> None:
-        if not self._buffer:
+        # swap the buffer atomically so chunk rows appended by the
+        # poller thread mid-flush land in the NEXT flush, never dropped
+        # (ADVICE r4); the Spark write runs outside the lock
+        with self._lock:
+            buf, self._buffer = self._buffer, []
+        if not buf:
             return
-        rows = [
-            tuple(r.get(name) for name in _ROW_FIELDS)
-            for r in self._buffer
-        ]
+        rows = [tuple(r.get(name) for name in _ROW_FIELDS) for r in buf]
         self.spark.createDataFrame(rows, _ROW_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.metrics_dir)
-        self._buffer = []
 
 
 def read_progress(spark, metrics_dir: str):

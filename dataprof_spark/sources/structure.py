@@ -38,15 +38,43 @@ FULL_SCAN_THRESHOLD = 10 * 1024 * 1024  # bytes: exact count below this
 ROW_SAMPLE_WINDOWS = 16
 ROW_SAMPLE_BYTES_PER_WINDOW = 16 * 1024
 
-# the reference's 8 date shapes (inference.rs:12-31), Python-re form
+# the reference's 8 date shapes (inference.rs:12-31), one alternation,
+# every branch fully anchored — seconds are REQUIRED in the datetime
+# shapes ('2024-01-01 10:30' is NOT a date in the reference)
 _DATE_RE = re.compile(
-    r"^\d{4}-\d{2}-\d{2}$|^\d{2}/\d{2}/\d{4}$|^\d{2}-\d{2}-\d{4}$"
-    r"|^\d{4}/\d{2}/\d{2}$|^\d{2}\.\d{2}\.\d{4}$"
-    r"|^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2})?"
+    r"^(?:\d{4}-\d{2}-\d{2}"                      # ISO 8601 date
+    r"|\d{2}/\d{2}/\d{4}"                          # DD/MM/YYYY
+    r"|\d{2}-\d{2}-\d{4}"                          # DD-MM-YYYY
+    r"|\d{4}/\d{2}/\d{2}"                          # YYYY/MM/DD
+    r"|\d{2}\.\d{2}\.\d{4}"                        # DD.MM.YYYY
+    r"|\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"  # ISO datetime
+    r"|\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"        # spaced ISO datetime
+    r"|\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2}"        # DD/MM/YYYY datetime
+    r")$"
 )
 _INT_RE = re.compile(r"^[+-]?\d+$")
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
 _FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 _BOOL_SET = frozenset({"true", "false"})
+_NULL_TOKENS = frozenset({"null", "nan"})
+
+
+def is_null_like_token(value: str | None) -> bool:
+    """Reference inference.rs:98-103: empty/whitespace-only, 'null',
+    'nan' (ASCII case-insensitive, after trim) are all null-like."""
+    if value is None:
+        return True
+    v = value.strip()
+    return not v or v.lower() in _NULL_TOKENS
+
+
+def _parses_as_i64(v: str) -> bool:
+    """Rust `str::parse::<i64>()` twin: sign + digits, in i64 range
+    (overflowing digit strings fall through to the float check there,
+    exactly as in the reference's single numeric pass)."""
+    if not _INT_RE.match(v):
+        return False
+    return _I64_MIN <= int(v) <= _I64_MAX
 
 
 @dataclass
@@ -110,6 +138,23 @@ def _count_lines_exact(path: str, skip_header: bool) -> int:
     return max(0, n - 1) if skip_header else n
 
 
+def _count_csv_records_exact(path: str) -> int:
+    """Exact CSV RECORD count via the csv module — a quoted field with
+    an embedded newline is one record, not two, so this (not a physical
+    line count) is what 'exact' must mean for CSV (ADVICE r4)."""
+    import csv as _csv
+
+    encoding = _readers.detect_encoding(path)
+    py_enc = {"ISO-8859-1": "latin-1"}.get(encoding, encoding)
+    sep = _readers.detect_delimiter(path)
+    n = 0
+    with open(path, encoding=py_enc, errors="replace", newline="") as f:
+        for rec in _csv.reader(f, delimiter=sep):
+            if any(cell.strip() for cell in rec):
+                n += 1
+    return max(0, n - 1)  # header
+
+
 def _estimate_rows_windowed(path: str, skip_header: bool) -> int:
     """Windowed estimate for large line-oriented files: sample
     ROW_SAMPLE_WINDOWS evenly spaced byte windows, measure bytes/line
@@ -154,6 +199,12 @@ def quick_row_count(path: str, fmt: str | None = None) -> RowCountEstimate:
             "parse; convert to JSONL for streaming counting"
         )
     if os.path.getsize(path) <= FULL_SCAN_THRESHOLD:
+        if fmt == "csv":
+            # csv.reader honors quoted embedded newlines, so the
+            # "exact" claim holds for records, not physical lines
+            return RowCountEstimate(
+                _count_csv_records_exact(path), True, "full_scan"
+            )
         return RowCountEstimate(
             _count_lines_exact(path, skip_header), True, "full_scan"
         )
@@ -165,20 +216,23 @@ def quick_row_count(path: str, fmt: str | None = None) -> RowCountEstimate:
 
 # -------------------------------------------------------- type inference
 def infer_value_type(values: list[str]) -> str:
-    """Reference inference.rs:33-96 thresholds over non-null sample
-    strings: 100% integer; >80% float; ≥90% strict boolean; >70%
-    date-shaped; else string."""
-    vals = [v for v in values if v is not None and v != ""]
+    """Reference inference.rs:33-96 thresholds over the sample strings:
+    null-like tokens ('', 'null', 'nan' after trim) are filtered FIRST
+    and every remaining value is trimmed before the type checks —
+    100% i64-parsable → integer; >80% finite-float → float; ≥90%
+    strict true/false → boolean; >70% matching any of the 8 anchored
+    date shapes → date; else string."""
+    vals = [v.strip() for v in values if not is_null_like_token(v)]
     if not vals:
         return "string"
     n = len(vals)
-    if all(_INT_RE.match(v) for v in vals):
+    if all(_parses_as_i64(v) for v in vals):
         return "integer"
     if sum(1 for v in vals if _FLOAT_RE.match(v)) / n > 0.8:
         return "float"
-    if sum(1 for v in vals if v.strip().lower() in _BOOL_SET) / n >= 0.9:
+    if sum(1 for v in vals if v.lower() in _BOOL_SET) / n >= 0.9:
         return "boolean"
-    if sum(1 for v in vals if _DATE_RE.match(v.strip())) / n > 0.7:
+    if sum(1 for v in vals if _DATE_RE.match(v)) / n > 0.7:
         return "date"
     return "string"
 
@@ -191,8 +245,10 @@ def _summarize_sample(
     for name in col_order:
         vals = [r.get(name) for r in rows]
         strs = [None if v is None else str(v) for v in vals]
-        nulls = sum(1 for v in strs if v is None or v == "")
-        nonnull = [v for v in strs if v is not None and v != ""]
+        # null-like semantics match the reference's column.rs:35,110
+        # (is_null_like_token): '', 'null', 'nan' count as null
+        nulls = sum(1 for v in strs if is_null_like_token(v))
+        nonnull = [v for v in strs if not is_null_like_token(v)]
         uniq = len(set(nonnull))
         out.append(
             StructureColumnSummary(

@@ -181,6 +181,12 @@ def derby_url(spark, tmp_path_factory):
     dbdir = str(tmp_path_factory.mktemp("derby") / "db")
     url = f"jdbc:derby:{dbdir};create=true"
     jvm = spark._jvm
+    # route derby.log into the test tmpdir (it lands in user.dir —
+    # the repo root — otherwise); must be set before the engine loads
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file",
+        str(tmp_path_factory.mktemp("derby-logs") / "derby.log"),
+    )
     jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     conn = jvm.java.sql.DriverManager.getConnection(url)
     st = conn.createStatement()

@@ -124,6 +124,24 @@ def test_windowed_row_estimate(tmp_path):
     assert abs(est.count - n) / n < 0.05
 
 
+def test_csv_quoted_newline_exact_count(tmp_path):
+    """A quoted field with an embedded newline is ONE record: the
+    exact count must use csv.reader semantics, not physical lines
+    (ADVICE r4)."""
+    p = tmp_path / "quoted.csv"
+    p.write_text(
+        'id,comment\n'
+        '1,"first line\nsecond line of same record"\n'
+        '2,plain\n'
+        '3,"another\nmulti\nline"\n'
+    )
+    est = structure.quick_row_count(str(p))
+    assert est.exact and est.count == 3
+    rep = structure.analyze_structure(str(p))
+    assert rep.row_count.count == 3
+    assert rep.rows_sampled == 3
+
+
 def test_unknown_extension_rejected(tmp_path):
     p = tmp_path / "x.xlsx"
     p.write_text("whatever")
@@ -146,10 +164,33 @@ def test_infer_value_type_thresholds():
     ) == "float"
     assert structure.infer_value_type(["true", "false", "TRUE"]) == "boolean"
     assert structure.infer_value_type(
-        ["2024-01-01", "01/02/2024", "2024-01-01 10:30", "x"]
+        ["2024-01-01", "01/02/2024", "2024-01-01 10:30:00", "x"]
     ) == "date"  # 3/4 = 75% > 70%
+    # minutes-only is NOT a date shape in the reference (8 anchored
+    # patterns, all datetimes require seconds — inference.rs:12-31)
+    assert structure.infer_value_type(
+        ["2024-01-01 10:30", "2024-01-01 11:30", "2024-01-01 12:30"]
+    ) == "string"
+    # DD/MM/YYYY datetime is the reference's 8th shape
+    assert structure.infer_value_type(
+        ["15/01/2024 10:30:00", "16/01/2024 11:00:00"]
+    ) == "date"
     assert structure.infer_value_type([]) == "string"
     assert structure.infer_value_type([None, ""]) == "string"
+    # null-like tokens filtered before inference; values trimmed
+    # (inference.rs:34-38,98-103): 'NULL'/'NaN' markers and padding
+    # must not demote an integer column
+    assert structure.infer_value_type(
+        ["  1 ", "NULL", "2", "NaN", "null", " 3"]
+    ) == "integer"
+    assert structure.infer_value_type(["null", "NaN", ""]) == "string"
+    # i64 overflow falls through to float, as Rust's parse::<i64> does
+    assert structure.infer_value_type(
+        [str(2**70), str(2**70 + 1)]
+    ) == "float"
+    assert structure.infer_value_type(
+        [" true ", "FALSE", "null", "NULL", "nan", "NaN", ""]
+    ) == "boolean"
 
 
 def test_list_patterns_facade():
