@@ -65,21 +65,73 @@ if _os.environ.get("DATAPROF_LANGID_CACHE", "1") != "0":
     _token_scores = _lru_cache(maxsize=1 << 16)(_token_scores)
 
 
+# columns of the batch score matrix, alphabetical — np.argmax then
+# returns the alphabetically-smallest maximal language, matching the
+# scalar tie-break `max(sorted(scores), key=scores.get)`
+_LANGS_SORTED = tuple(sorted(_LANGS))
+
+import numpy as _np  # noqa: E402
+
+
+def scores_batch(texts) -> "_np.ndarray":
+    """(n_docs, n_langs) score matrix in _LANGS_SORTED column order —
+    THE scoring implementation (scalar wrappers delegate here).
+
+    Vectorized over the batch: all documents' tokens are flattened,
+    factorized to unique tokens (web text is Zipfian, so uniques are a
+    small fraction of occurrences), each UNIQUE token scored once via
+    the memoized per-token scorer, then per-document totals come from
+    one ``np.add.reduceat`` over the occurrence rows. reduceat's
+    blocking depends only on segment length, so a document's scores
+    are bit-identical in any batch layout (the property the labeler
+    ↔ Spark parity gate relies on)."""
+    import pandas as _pd
+
+    toks_per_doc = [
+        _TOKEN_RE.findall((t or "").lower()) for t in texts
+    ]
+    n = len(texts)
+    out = _np.zeros((n, len(_LANGS_SORTED)))
+    flat: list[str] = []
+    for toks in toks_per_doc:
+        flat.extend(toks)
+    if not flat:
+        return out
+    codes, uniques = _pd.factorize(_np.asarray(flat, dtype=object))
+    col = [_LANGS.index(l) for l in _LANGS_SORTED]
+    mat = _np.empty((len(uniques), len(_LANGS_SORTED)))
+    for j, tok in enumerate(uniques):
+        ts = _token_scores(tok)
+        mat[j] = [ts[i] for i in col]
+    occ = mat[codes]
+    lens = _np.fromiter(
+        (len(t) for t in toks_per_doc), dtype=_np.int64, count=n
+    )
+    nonempty = _np.flatnonzero(lens)
+    starts = _np.zeros(len(nonempty), dtype=_np.int64)
+    _np.cumsum(lens[nonempty][:-1], out=starts[1:])
+    out[nonempty] = _np.add.reduceat(occ, starts, axis=0)
+    return out
+
+
+def predict_batch(texts) -> list[tuple[str, float]]:
+    """Batch twin of predict(): [(language, score), ...]."""
+    sc = scores_batch(texts)
+    best = _np.argmax(sc, axis=1)
+    vals = sc[_np.arange(len(texts)), best]
+    return [
+        ("und", 0.0) if v <= 0.0 else (_LANGS_SORTED[b], float(v))
+        for b, v in zip(best, vals)
+    ]
+
+
 def score(text: str) -> dict[str, float]:
     """Per-language scores for one document."""
-    tokens = _TOKEN_RE.findall(text.lower())
-    totals = [0.0] * len(_LANGS)
-    for tok in tokens:
-        ts = _token_scores(tok)
-        for i in range(len(_LANGS)):
-            totals[i] += ts[i]
-    return dict(zip(_LANGS, totals))
+    row = scores_batch([text])[0]
+    return {l: float(v) for l, v in zip(_LANGS_SORTED, row)}
 
 
 def predict(text: str) -> tuple[str, float]:
-    """(language, score); 'und' if nothing matched at all."""
-    scores = score(text)
-    best = max(sorted(scores), key=lambda l: scores[l])
-    if scores[best] <= 0.0:
-        return "und", 0.0
-    return best, scores[best]
+    """(language, score); 'und' if nothing matched at all. Delegates
+    to the batch kernel — labeler and Spark UDF can never diverge."""
+    return predict_batch([text])[0]

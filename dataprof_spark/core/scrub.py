@@ -55,6 +55,41 @@ def scrub_text(text: str) -> tuple[str, dict[str, int]]:
     return text, counts
 
 
+def scrub_batch(texts) -> tuple["object", dict[str, "object"]]:
+    """Vectorized scrub over a pandas Series of texts.
+
+    Returns ``(scrubbed: pd.Series[str], {category: np.ndarray[int]})``
+    with results byte-identical to :func:`scrub_text` per element by
+    construction: the SAME compiled Python-``re`` patterns and
+    ``subn`` calls run in the same fixed category order — only the
+    loop nesting differs (category-major here, document-major there),
+    which cannot change per-document results because categories are
+    independent scans over each document's current text."""
+    import numpy as np
+    import pandas as pd
+
+    vals: list[str] = (
+        texts.fillna("").tolist()
+        if isinstance(texts, pd.Series)
+        else [t or "" for t in texts]
+    )
+    counts: dict[str, np.ndarray] = {}
+    # category-major, ``subn`` per element: one C regex scan per
+    # category yields BOTH the replaced text and the count (a
+    # Series.str.count + str.replace pair would scan twice), and a
+    # clean document costs exactly one scan — CPython's subn returns
+    # the original string object untouched when nothing matched.
+    for cat in SCRUB_ORDER:
+        sub = _COMPILED[cat].subn
+        tok = config.SCRUB_TOKENS[cat]
+        pairs = [sub(tok, t) for t in vals]
+        vals = [p[0] for p in pairs]
+        counts[cat] = np.fromiter(
+            (p[1] for p in pairs), dtype=np.int64, count=len(pairs)
+        )
+    return pd.Series(vals, dtype=object), counts
+
+
 def pii_counts(text: str) -> dict[str, int]:
     """Match counts only (no replacement) — the detection-side twin of
     the reference's pattern match_count (pattern.rs:5-18)."""

@@ -59,14 +59,15 @@ def heuristic_reason_col(
 def langid_udf(texts: pd.Series) -> pd.Series:
     from dataprof_spark.core import langid
 
-    return texts.map(lambda t: langid.predict(t or "")[0])
+    preds = langid.predict_batch(texts.tolist())
+    return pd.Series([p[0] for p in preds], dtype=object)
 
 
 @pandas_udf(T.DoubleType())
 def perplexity_udf(texts: pd.Series) -> pd.Series:
     from dataprof_spark.core import perplexity
 
-    return texts.map(lambda t: perplexity.perplexity(t or ""))
+    return pd.Series(perplexity.perplexity_batch(texts.tolist()))
 
 
 _SCRUB_SCHEMA = T.StructType(
@@ -82,24 +83,20 @@ _SCRUB_SCHEMA = T.StructType(
 
 @pandas_udf(_SCRUB_SCHEMA)
 def scrub_udf(texts: pd.Series) -> pd.DataFrame:
-    """Byte-exact scrub — the SAME core.scrub.scrub_text the labeler
-    uses (Python `re` end-to-end, SURVEY.md §7.3 hard-part #1)."""
+    """Byte-exact scrub — the SAME core.scrub compiled patterns the
+    labeler uses (Python `re` end-to-end, SURVEY.md §7.3 hard-part #1),
+    through the batch kernel (one C regex scan per category)."""
     from dataprof_spark.core import scrub
 
-    rows = []
-    for t in texts:
-        scrubbed, counts = scrub.scrub_text(t or "")
-        rows.append(
-            (
-                scrubbed,
-                counts["email"],
-                counts["phone"],
-                counts["ip"],
-                counts["blocklist"],
-            )
-        )
+    scrubbed, counts = scrub.scrub_batch(texts)
     return pd.DataFrame(
-        rows, columns=["scrubbed_text", "email", "phone", "ip", "blocklist"]
+        {
+            "scrubbed_text": scrubbed.reset_index(drop=True),
+            "email": counts["email"].astype("int32"),
+            "phone": counts["phone"].astype("int32"),
+            "ip": counts["ip"].astype("int32"),
+            "blocklist": counts["blocklist"].astype("int32"),
+        }
     )
 
 
@@ -122,30 +119,30 @@ def enrich_udf(texts: pd.Series) -> pd.DataFrame:
     + perplexity + byte-exact scrub. Three separate pandas UDFs would
     each become their own ArrowEvalPython node — 3× Arrow transfer of
     the text column and 3 Python round trips per batch; fused it is
-    one. Same pure core functions as the labeler."""
+    one. Batch-vectorized end to end (r5): langid scores unique
+    tokens once per batch and segment-sums with numpy, perplexity is
+    a codepoint-LUT numpy pass, the scrub is one C regex scan per
+    category — no per-document Python inner loop remains. The SAME
+    core batch kernels back the single-node labeler's scalar calls
+    (scalars delegate to batch-of-1, and reduceat segment sums are
+    bit-identical in any batch layout), so Spark output vs labeler
+    output stays byte-identical by construction."""
     from dataprof_spark.core import langid, perplexity, scrub
 
-    rows = []
-    for t in texts:
-        t = t or ""
-        scrubbed, counts = scrub.scrub_text(t)
-        rows.append(
-            (
-                langid.predict(t)[0],
-                perplexity.perplexity(t),
-                scrubbed,
-                counts["email"],
-                counts["phone"],
-                counts["ip"],
-                counts["blocklist"],
-            )
-        )
+    vals = texts.tolist()
+    preds = langid.predict_batch(vals)
+    ppl = perplexity.perplexity_batch(vals)
+    scrubbed, counts = scrub.scrub_batch(texts)
     return pd.DataFrame(
-        rows,
-        columns=[
-            "pred_lang", "ppl", "scrubbed_text",
-            "email", "phone", "ip", "blocklist",
-        ],
+        {
+            "pred_lang": pd.Series([p[0] for p in preds], dtype=object),
+            "ppl": ppl,
+            "scrubbed_text": scrubbed.reset_index(drop=True),
+            "email": counts["email"].astype("int32"),
+            "phone": counts["phone"].astype("int32"),
+            "ip": counts["ip"].astype("int32"),
+            "blocklist": counts["blocklist"].astype("int32"),
+        }
     )
 
 

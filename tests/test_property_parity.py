@@ -43,6 +43,29 @@ def test_scrub_idempotent_and_counts_consistent(text):
     assert det["email"] == counts1["email"]
 
 
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+def test_batch_kernels_bitexact_vs_scalar(texts):
+    """The r5 vectorized kernels (langid.predict_batch,
+    perplexity.perplexity_batch, scrub.scrub_batch) must be
+    BIT-identical to the scalar path for every document in ANY batch
+    layout — the invariant that makes labeler output equal Spark
+    output by construction."""
+    import pandas as pd
+
+    from dataprof_spark.core import langid, perplexity
+
+    preds = langid.predict_batch(texts)
+    ppls = perplexity.perplexity_batch(texts)
+    scrubbed, counts = pyscrub.scrub_batch(pd.Series(texts, dtype=object))
+    for i, t in enumerate(texts):
+        assert langid.predict(t) == preds[i]
+        assert perplexity.perplexity(t) == ppls[i]  # bitwise, no approx
+        s1, c1 = pyscrub.scrub_text(t)
+        assert scrubbed.iloc[i] == s1
+        assert {k: int(v[i]) for k, v in counts.items()} == c1
+
+
 @settings(max_examples=300, deadline=None)
 @given(_TEXT)
 def test_python_signal_invariants(text):
