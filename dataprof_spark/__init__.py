@@ -125,3 +125,13 @@ def list_patterns(locale=None):
     from dataprof_spark.facade import list_patterns as _f
 
     return _f(locale=locale)
+
+
+def Profiler():
+    """Fluent builder over profile() — the reference's `dp.Profiler()`
+    chain (engine/format/max_rows/sampling/locale/metrics/
+    quality_dimensions/.../profile). Imported lazily; returns a new
+    dataprof_spark.facade.Profiler instance."""
+    from dataprof_spark.facade import Profiler as _P
+
+    return _P()

@@ -44,7 +44,8 @@ def _default_spark() -> SparkSession:
 
 
 def _load_path(
-    spark: SparkSession, path: str, fmt: str | None, max_rows: int | None
+    spark: SparkSession, path: str, fmt: str | None, max_rows: int | None,
+    csv_delimiter: str | None = None, csv_flexible: bool | None = None,
 ) -> tuple[DataFrame, dict]:
     if not os.path.exists(path):
         raise FileNotFoundError(f"source not found: {path}")
@@ -57,7 +58,10 @@ def _load_path(
     )
     if fmt == "csv":
         res = _readers.read_csv_robust(
-            spark, path, encoding=None, max_rows=max_rows
+            spark, path, encoding=None, max_rows=max_rows,
+            delimiter=csv_delimiter,
+            # flexible=False → Strict/FAILFAST (reference csv_flexible)
+            strict=(csv_flexible is False),
         )
         return res.df, {"format": "csv", **res.options}
     if fmt == "json":
@@ -150,6 +154,9 @@ def analyze_to_arrow(source: Any, **opts):
     return profile(source, **opts).to_arrow()
 
 
+_VALID_METRIC_PACKS = {"schema", "statistics", "patterns", "quality"}
+
+
 def profile(
     source: Any,
     *,
@@ -160,20 +167,78 @@ def profile(
     key_col: str | None = None,
     use_approx_percentiles: bool = False,
     patterns: bool = False,
+    metrics: list[str] | None = None,
+    quality_dimensions: list[str] | None = None,
+    locale: str | None = None,
+    name: str | None = None,
+    sampling: Any = None,
+    positive_columns: list[str] | None = None,
+    csv_delimiter: str | None = None,
+    csv_flexible: bool | None = None,
+    on_progress: Any = None,
+    progress_interval_ms: int | None = None,
 ) -> ProfileReport:
     """Profile any supported source into a ProfileReport.
 
     ``quality=True`` adds the A19-A25 quality assessment;
     ``patterns=True`` additionally runs the PII/pattern detector
-    sample pass (§2.8) and marks the report patterns_scanned."""
+    sample pass (§2.8) and marks the report patterns_scanned.
+
+    ``metrics`` selects metric packs (reference quality.rs:63-72 /
+    Profiler.metrics, python/dataprof/__init__.py:1380-1396):
+    "schema" (always included), "statistics", "patterns", "quality".
+    An omitted pack contributes ZERO Spark aggregate expressions —
+    e.g. metrics=["schema"] is one light agg job. ``metrics``
+    overrides the ``quality``/``patterns`` booleans when given.
+    ``quality_dimensions`` further narrows the quality pack to the
+    named ISO 25012 dimensions (Profiler.quality_dimensions).
+    ``sampling`` is either a callable ``df -> df`` or a dict
+    ``{"stages": [...], "id_col": ...}`` routed through
+    operators.sampling.multi_stage — applied BEFORE profiling.
+    ``on_progress``/``progress_interval_ms`` attach a progress
+    callback fed from SparkStatusTracker while the profile jobs run
+    (reference Profiler.on_progress / progress_interval_ms)."""
     spark = spark or _default_spark()
+    if metrics is not None:
+        packs = {p.lower() for p in metrics}
+        unknown = packs - _VALID_METRIC_PACKS
+        if unknown:
+            raise ValueError(
+                f"Unknown metric packs: {sorted(unknown)}. "
+                f"Valid packs: {sorted(_VALID_METRIC_PACKS)}"
+            )
+        packs.add("schema")  # always included (quality.rs:64)
+        quality = "quality" in packs
+        patterns = "patterns" in packs
+    else:
+        packs = {"schema", "statistics"} | (
+            {"quality"} if quality else set()
+        ) | ({"patterns"} if patterns else set())
     meta: dict[str, Any] = {}
     if isinstance(source, str):
-        df, meta = _load_path(spark, source, format, None)
-        name = os.path.basename(source)
+        df, meta = _load_path(
+            spark, source, format, None,
+            csv_delimiter=csv_delimiter, csv_flexible=csv_flexible,
+        )
+        name = name or os.path.basename(source)
     else:
         df = _to_df(spark, source)
-        name = type(source).__name__
+        name = name or type(source).__name__
+    if sampling is not None:
+        if callable(sampling):
+            df = sampling(df)
+        elif isinstance(sampling, dict):
+            from dataprof_spark.operators import sampling as _sampling
+
+            df = _sampling.multi_stage(
+                df, sampling["stages"], sampling["id_col"],
+                seed=sampling.get("seed", 42),
+            )
+        else:
+            raise TypeError(
+                "sampling must be a callable df->df or a dict "
+                "{'stages': [...], 'id_col': ...}"
+            )
     # Centralized cap: limit(max_rows+1) + cache (apply_row_cap) so
     # (a) truncation provenance is exact — a source with exactly
     # max_rows rows is NOT reported truncated — and (b) the profiler,
@@ -182,16 +247,35 @@ def profile(
     cap = _readers.apply_row_cap(df, max_rows) if max_rows else None
     if cap:
         df = cap.df
+    poller = None
+    sink = None
+    if on_progress is not None:
+        from dataprof_spark.progress import JobProgressPoller, ProgressSink
+
+        sink = ProgressSink(
+            callback=on_progress,
+            min_interval_s=(progress_interval_ms or 500) / 1000.0,
+        )
+        sink.started()
+        sink.schema([f.name for f in df.schema.fields])
+        poller = JobProgressPoller(spark, sink)
+        poller.__enter__()
     try:
         t0 = time.perf_counter()
-        profiles = _profiler.profile(
-            df, use_approx_percentiles=use_approx_percentiles
-        )
+        if "statistics" in packs:
+            profiles = _profiler.profile(
+                df, use_approx_percentiles=use_approx_percentiles
+            )
+        else:
+            # schema pack only: names/types/null counts, one agg job
+            profiles = _profiler.profile_schema_only(df)
         qrep = None
         if quality:
             qrep = _quality.assess(
                 df, key_col=key_col,
                 use_approx_percentiles=use_approx_percentiles,
+                dimensions=quality_dimensions,
+                positive_columns=positive_columns,
             )
         patterns_scanned = False
         if patterns:
@@ -200,17 +284,24 @@ def profile(
             from dataprof_spark.operators import patterns as _patterns
 
             meta["pattern_matches"] = {
-                f.name: _patterns.detect_column_patterns(df, f.name)
+                f.name: _patterns.detect_column_patterns(
+                    df, f.name, locale=locale
+                )
                 for f in df.schema.fields
                 if isinstance(f.dataType, T.StringType)
             }
             patterns_scanned = True
     finally:
+        if poller is not None:
+            poller.__exit__(None, None, None)
         if cap:
             cap.release()
     total = profiles[0].total_count if profiles else 0
+    if sink is not None:
+        sink.finished(total)
     execution = {
         "engine": "spark",
+        "metric_packs": sorted(packs),
         "rows_processed": total,
         "columns_detected": len(profiles),
         "scan_time_sec": round(time.perf_counter() - t0, 3),
@@ -224,3 +315,204 @@ def profile(
         name, profiles, quality_report=qrep, execution=execution,
         patterns_scanned=patterns_scanned,
     )
+
+
+# ---------------------------------------------------------------- builder
+class Profiler:
+    """Builder-style profiler configuration — the reference's fluent
+    chain (python/dataprof/__init__.py:1262-1408) over the Spark
+    facade. Chainable methods accumulate settings; ``.profile(src)``
+    runs.
+
+    Example::
+
+        report = Profiler().metrics(["schema", "quality"]) \\
+            .quality_dimensions(["completeness"]).profile(df)
+        report = Profiler().sampling({"stages": [("systematic",
+            {"interval": 10})], "id_col": "id"}).profile("data.csv")
+
+    Spark-first mapping notes (honest, recorded in the report):
+    - ``engine``/``chunk_size``/``memory_limit_mb`` configure the
+      reference's single-node streaming engines; Spark owns execution
+      and memory, so these are validated, RECORDED in
+      ``report.execution["requested_options"]``, and not applied.
+    - ``stop_condition``/``stop_when``: a row-limit-only condition is
+      applied as the exact row cap (same truncation provenance); a
+      chunk-feedback condition (schema-stable, memory-pressure) has no
+      chunk loop in a whole-stage Spark scan — it is applied through
+      its row-limit component when it has one (e.g. the
+      schema_inference preset caps at 10k) and recorded otherwise.
+    - ``temporal_columns`` are recorded: Spark's timeliness dimension
+      derives from actual date/timestamp column TYPES, which is
+      strictly stronger than name hints.
+    """
+
+    _ENGINES = ("auto", "incremental", "columnar", "spark")
+
+    def __init__(self) -> None:
+        self._kwargs: dict[str, Any] = {}
+        self._recorded: dict[str, Any] = {}
+
+    # ---- applied settings -------------------------------------------
+    def format(self, fmt: str) -> "Profiler":
+        """Override format detection ("csv", "json", "parquet")."""
+        self._kwargs["format"] = fmt
+        return self
+
+    def max_rows(self, n: int) -> "Profiler":
+        """Set maximum rows to process (exact truncation provenance)."""
+        self._kwargs["max_rows"] = n
+        return self
+
+    def name(self, name: str) -> "Profiler":
+        """Set the source name used in the report."""
+        self._kwargs["name"] = name
+        return self
+
+    def csv_delimiter(self, d: str) -> "Profiler":
+        """Set single-character CSV delimiter (else autodetected)."""
+        if len(d) != 1:
+            raise ValueError("csv_delimiter must be a single character")
+        self._kwargs["csv_delimiter"] = d
+        return self
+
+    def csv_flexible(self, flexible: bool) -> "Profiler":
+        """Allow variable-length CSV records (PERMISSIVE vs FAILFAST)."""
+        self._kwargs["csv_flexible"] = flexible
+        return self
+
+    def sampling(self, strategy: Any) -> "Profiler":
+        """Set sampling: a callable ``df -> df`` or a dict
+        ``{"stages": [...], "id_col": ...}`` (multi_stage grammar)."""
+        self._kwargs["sampling"] = strategy
+        return self
+
+    def locale(self, locale: str) -> "Profiler":
+        """Set locale for pattern detection (e.g. "IT", "US", "GB")."""
+        self._kwargs["locale"] = locale
+        return self
+
+    def positive_columns(self, columns: list[str]) -> "Profiler":
+        """Mark columns whose numeric values must be non-negative."""
+        self._kwargs["positive_columns"] = list(columns)
+        return self
+
+    def identifier_columns(self, columns: list[str]) -> "Profiler":
+        """Mark identifier columns; the first becomes the key-uniqueness
+        column (key_col) of the quality pass."""
+        cols = list(columns)
+        if cols:
+            self._kwargs["key_col"] = cols[0]
+        self._recorded["identifier_columns"] = cols
+        return self
+
+    def quality_dimensions(self, dims: list[str]) -> "Profiler":
+        """Select quality dimensions to evaluate (unselected ones
+        contribute zero aggregate expressions)."""
+        self._kwargs["quality_dimensions"] = list(dims)
+        return self
+
+    def metrics(self, packs: list[str]) -> "Profiler":
+        """Select metric packs: "schema" (always included),
+        "statistics", "patterns", "quality". Omitting a pack skips
+        that computation entirely."""
+        normalized = [p.lower() for p in packs]
+        unknown = set(normalized) - _VALID_METRIC_PACKS
+        if unknown:
+            raise ValueError(
+                f"Unknown metric packs: {sorted(unknown)}. "
+                f"Valid packs: {sorted(_VALID_METRIC_PACKS)}"
+            )
+        self._kwargs["metrics"] = normalized
+        return self
+
+    def on_progress(self, cb: Any) -> "Profiler":
+        """Set a progress callback (ProgressEvent consumer)."""
+        self._kwargs["on_progress"] = cb
+        return self
+
+    def progress_interval_ms(self, ms: int) -> "Profiler":
+        """Minimum interval between chunk progress events in ms."""
+        self._kwargs["progress_interval_ms"] = ms
+        return self
+
+    def stop_condition(self, cond: Any) -> "Profiler":
+        """Set an early-stop condition (operators.stop_conditions).
+        Applied via its row-limit bound when it has one; recorded
+        otherwise (no chunk loop in a whole-stage Spark scan)."""
+        limit = None
+        try:
+            limit = cond.max_rows()
+        except AttributeError:
+            pass
+        if limit is None and hasattr(cond, "conditions"):
+            limits = [
+                c.max_rows() for c in cond.conditions
+                if c.max_rows() is not None
+            ]
+            limit = min(limits) if limits else None
+        if limit is not None:
+            self._kwargs["max_rows"] = limit
+        self._recorded["stop_condition"] = repr(cond)
+        return self
+
+    def stop_when(self, condition: Any) -> "Profiler":
+        """Stop condition from an object or shorthand string:
+        "schema_stable", "schema_inference", "quality_sample"."""
+        if isinstance(condition, str):
+            from dataprof_spark.operators import stop_conditions as _sc
+
+            factories = {
+                "schema_stable": lambda: _sc.SchemaStable(1_000),
+                "schema_inference": _sc.schema_inference,
+                "quality_sample": _sc.quality_sample,
+            }
+            if condition not in factories:
+                raise ValueError(
+                    f"Unknown stop_when shorthand: {condition!r}. "
+                    f"Valid shorthands: {sorted(factories)}"
+                )
+            condition = factories[condition]()
+        return self.stop_condition(condition)
+
+    # ---- recorded-only settings (Spark owns execution) ---------------
+    def engine(self, engine: str) -> "Profiler":
+        """Reference engines: "auto"/"incremental"/"columnar". Spark
+        is the engine here; the request is validated and recorded."""
+        if engine not in self._ENGINES:
+            raise ValueError(
+                f"unknown engine {engine!r}; valid: {self._ENGINES}"
+            )
+        self._recorded["requested_engine"] = engine
+        return self
+
+    def chunk_size(self, n: int) -> "Profiler":
+        """Streaming chunk size — Spark sizes partitions itself
+        (spark.sql.files.maxPartitionBytes); recorded."""
+        self._recorded["chunk_size"] = n
+        return self
+
+    def memory_limit_mb(self, mb: int) -> "Profiler":
+        """Memory budget — Spark executors manage memory; recorded."""
+        self._recorded["memory_limit_mb"] = mb
+        return self
+
+    def temporal_columns(self, columns: list[str]) -> "Profiler":
+        """Recorded: Spark timeliness derives from column TYPES."""
+        self._recorded["temporal_columns"] = list(columns)
+        return self
+
+    # ---- terminal ----------------------------------------------------
+    def profile(self, source: Any) -> ProfileReport:
+        """Profile the source with the accumulated settings."""
+        report = profile(source, **self._kwargs)
+        if self._recorded:
+            report.execution["requested_options"] = dict(self._recorded)
+        return report
+
+    def __repr__(self) -> str:
+        settings = ", ".join(
+            f"{k}={v!r}"
+            for k, v in {**self._kwargs, **self._recorded}.items()
+        )
+        return f"Profiler({settings})"

@@ -65,6 +65,40 @@ def _is_temporal(dtype: T.DataType) -> bool:
     )
 
 
+def profile_schema_only(df: DataFrame) -> list[ColumnProfile]:
+    """The reference's `metrics(["schema"])` pack (quality.rs:63-65:
+    "Column names, data types, null counts — always included"): ONE
+    declarative agg job — no distinct counts, no percentile buffers,
+    no melt job. The cheap pass when the caller only wants shape."""
+    fields = df.schema.fields
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for f_ in fields:
+        c = F.col(f_.name)
+        null_pred = (
+            exprs.nulllike(c)
+            if isinstance(f_.dataType, T.StringType)
+            else c.isNull()
+        )
+        aggs.append(
+            F.sum(null_pred.cast("long")).alias(f"{f_.name}__nulls")
+        )
+    row = df.agg(*aggs).collect()[0].asDict()
+    total = row["__total"]
+    return [
+        ColumnProfile(
+            name=f_.name,
+            spark_type=f_.dataType.simpleString(),
+            inferred_type=f_.dataType.simpleString(),
+            total_count=total,
+            null_count=row[f"{f_.name}__nulls"] or 0,
+            distinct_count=-1,  # not computed in the schema pack
+            distinct_is_approximate=False,
+            flags=["schema_pack_only"],
+        )
+        for f_ in fields
+    ]
+
+
 def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
             use_approx_percentiles: bool = False) -> list[ColumnProfile]:
     """Profile every column of `df` (3 jobs total, independent of

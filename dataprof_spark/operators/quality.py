@@ -60,12 +60,19 @@ class QualityReport:
         return num / den
 
 
+_ALL_DIMENSIONS = (
+    "completeness", "consistency", "uniqueness", "accuracy",
+    "timeliness", "validity", "precision",
+)
+
+
 def assess(df: DataFrame, key_col: str | None = None,
            now: _dt.datetime | None = None,
            with_validity: bool = False,
            use_approx_percentiles: bool = False,
            use_approx_distinct: bool = False,
-           positive_columns: list[str] | None = None) -> QualityReport:
+           positive_columns: list[str] | None = None,
+           dimensions: list[str] | None = None) -> QualityReport:
     """Compute ALL assessable dimensions (the reference's full
     7-dimension contract, quality.rs:135-161 + 340-411): completeness,
     consistency (type conformance + mixed date formats + mixed decimal
@@ -83,6 +90,20 @@ def assess(df: DataFrame, key_col: str | None = None,
     records confidence="approx" — the reference's own exact-vs-approx
     provenance contract.
     """
+    if dimensions is None:
+        want = set(_ALL_DIMENSIONS)
+    else:
+        want = {d.lower() for d in dimensions}
+        unknown = want - set(_ALL_DIMENSIONS)
+        if unknown:
+            # mirror the reference's FromStr refusal (quality.rs:29-43)
+            raise ValueError(
+                f"Unknown quality dimension(s): {sorted(unknown)}. "
+                f"Valid: {list(_ALL_DIMENSIONS)}"
+            )
+        if "validity" in want:
+            # naming a dimension explicitly IS the opt-in
+            with_validity = True
     now = now or _dt.datetime(2026, 1, 1)
     fields_ = df.schema.fields
     str_cols = [f.name for f in fields_ if isinstance(f.dataType, T.StringType)]
@@ -91,18 +112,23 @@ def assess(df: DataFrame, key_col: str | None = None,
 
     aggs = [F.count(F.lit(1)).alias("__total")]
     pct_aggs: list = []  # TypedImperative percentiles — separate job
-    # completeness: per-cell nulls + complete records
-    null_preds = []
-    for f_ in fields_:
-        c = F.col(f_.name)
-        p = exprs.nulllike(c) if isinstance(f_.dataType, T.StringType) else c.isNull()
-        null_preds.append(p)
-        aggs.append(F.sum(p.cast("long")).alias(f"{f_.name}__nulls"))
-    complete_row = None
-    for p in null_preds:
-        notp = ~p
-        complete_row = notp if complete_row is None else (complete_row & notp)
-    aggs.append(F.sum(complete_row.cast("long")).alias("__complete_rows"))
+    # completeness: per-cell nulls + complete records (the null counts
+    # also feed consistency's values_checked denominator, so either
+    # dimension pulls them in; an unrequested dimension contributes
+    # ZERO aggregate expressions — the metrics(packs) contract)
+    if want & {"completeness", "consistency"}:
+        null_preds = []
+        for f_ in fields_:
+            c = F.col(f_.name)
+            p = exprs.nulllike(c) if isinstance(f_.dataType, T.StringType) else c.isNull()
+            null_preds.append(p)
+            aggs.append(F.sum(p.cast("long")).alias(f"{f_.name}__nulls"))
+    if "completeness" in want:
+        complete_row = None
+        for p in null_preds:
+            notp = ~p
+            complete_row = notp if complete_row is None else (complete_row & notp)
+        aggs.append(F.sum(complete_row.cast("long")).alias("__complete_rows"))
     # uniqueness: row duplicates via 64-bit hash of all columns (A11;
     # xxhash64 not 32-bit hash() — at 10^7+ rows 32-bit birthday
     # collisions would inflate the duplicate count)
@@ -117,25 +143,27 @@ def assess(df: DataFrame, key_col: str | None = None,
     else:
         _distinct = F.countDistinct
         _distinct_sink = aggs
-    _distinct_sink.append(
-        _distinct(
-            F.xxhash64(*[F.col(f_.name) for f_ in fields_])
-        ).alias("__distinct_rows")
-    )
-    if key_col:
+    if "uniqueness" in want:
         _distinct_sink.append(
-            _distinct(F.col(key_col)).alias("__key_distinct")
+            _distinct(
+                F.xxhash64(*[F.col(f_.name) for f_ in fields_])
+            ).alias("__distinct_rows")
         )
-        aggs.append(
-            F.sum(F.col(key_col).isNotNull().cast("long")).alias("__key_nn")
-        )
+        if key_col:
+            _distinct_sink.append(
+                _distinct(F.col(key_col)).alias("__key_distinct")
+            )
+            aggs.append(
+                F.sum(F.col(key_col).isNotNull().cast("long"))
+                .alias("__key_nn")
+            )
     # consistency sub-metrics across string columns (A20,
     # consistency.rs:26-210): encoding issues (mojibake values),
     # type conformance for date-named columns, mixed date formats,
     # mixed decimal separators. The reference samples 50 values for
     # the mixed-format check; Spark computes it exact over the full
     # column in the same single pass — a strictly stronger answer.
-    for n in str_cols:
+    for n in (str_cols if "consistency" in want else []):
         c = F.col(n)
         nn = ~exprs.nulllike(c)
         tv = F.trim(c)
@@ -167,7 +195,7 @@ def assess(df: DataFrame, key_col: str | None = None,
             .alias(f"{n}__sep_com")
         )
     # accuracy: domain rules + negatives in positive-named cols (A21)
-    for n in num_cols:
+    for n in (num_cols if "accuracy" in want else []):
         c = F.col(n).cast("double")
         for hint, lo, hi in _DOMAIN_RULES:
             if hint in n.lower():
@@ -205,7 +233,7 @@ def assess(df: DataFrame, key_col: str | None = None,
             )
         aggs.append(F.count(c).alias(f"{n}__n"))
     # timeliness (A22)
-    for n in ts_cols:
+    for n in (ts_cols if "timeliness" in want else []):
         y = F.year(F.col(n))
         aggs.append(F.sum((y > now.year).cast("long")).alias(f"{n}__future"))
         aggs.append(
@@ -225,24 +253,36 @@ def assess(df: DataFrame, key_col: str | None = None,
 
     # ---- completeness
     n_cells = total * len(fields_)
-    total_nulls = sum(row[f"{f_.name}__nulls"] for f_ in fields_)
-    null_columns = [
-        f_.name
-        for f_ in fields_
-        if row[f"{f_.name}__nulls"] / total * 100 > config.MAX_NULL_PERCENTAGE
-    ]
-    report.dimensions["completeness"] = 1.0 - total_nulls / n_cells
-    report.details["completeness"] = {
-        "missing_values_ratio": total_nulls / n_cells,
-        "complete_records_ratio": row["__complete_rows"] / total,
-        "null_columns": null_columns,
-    }
+    total_nulls = (
+        sum(row[f"{f_.name}__nulls"] for f_ in fields_)
+        if want & {"completeness", "consistency"} else 0
+    )
+    if "completeness" in want:
+        null_columns = [
+            f_.name
+            for f_ in fields_
+            if row[f"{f_.name}__nulls"] / total * 100
+            > config.MAX_NULL_PERCENTAGE
+        ]
+        report.dimensions["completeness"] = 1.0 - total_nulls / n_cells
+        report.details["completeness"] = {
+            "missing_values_ratio": total_nulls / n_cells,
+            "complete_records_ratio": row["__complete_rows"] / total,
+            "null_columns": null_columns,
+        }
 
     # ---- uniqueness
-    dup_rows = total - row["__distinct_rows"]
-    uni = 1.0 - dup_rows / total
-    det: dict = {"duplicate_rows": dup_rows}
-    if key_col:
+    if "uniqueness" not in want:
+        dup_rows = None  # section skipped
+    else:
+        dup_rows = total - row["__distinct_rows"]
+    if dup_rows is None:
+        det = None
+        uni = None
+    else:
+        uni = 1.0 - dup_rows / total
+        det = {"duplicate_rows": dup_rows}
+    if dup_rows is not None and key_col:
         kn = row["__key_nn"]
         det["key_uniqueness"] = (
             row["__key_distinct"] / kn if kn else None
@@ -250,13 +290,14 @@ def assess(df: DataFrame, key_col: str | None = None,
         det["key_nulls"] = total - kn
         if kn and det["key_uniqueness"] is not None:
             uni = min(uni, det["key_uniqueness"])
-    report.dimensions["uniqueness"] = uni
-    report.details["uniqueness"] = det
+    if dup_rows is not None:
+        report.dimensions["uniqueness"] = uni
+        report.details["uniqueness"] = det
 
     # ---- consistency (consistency.rs score contract,
     # quality.rs:246-253: type conformance − violation ratio)
     values_checked = n_cells - total_nulls
-    if values_checked > 0:
+    if "consistency" in want and values_checked > 0:
         moji_total = sum(row[f"{n}__moji"] for n in str_cols)
         nonconform = sum(
             row.get(f"{n}__nonconform", 0) or 0 for n in str_cols
@@ -293,7 +334,7 @@ def assess(df: DataFrame, key_col: str | None = None,
         }
 
     # ---- accuracy: outlier ratio pooled + rule violations
-    if num_cols:
+    if "accuracy" in want and num_cols:
         outliers = 0
         pooled_n = 0
         fence_preds = []
@@ -352,7 +393,7 @@ def assess(df: DataFrame, key_col: str | None = None,
     float_cols = [
         f_.name for f_ in fields_
         if isinstance(f_.dataType, (T.DoubleType, T.FloatType))
-    ]
+    ] if "precision" in want else []
     if float_cols:
         pairs = F.array(*[
             F.struct(
@@ -390,7 +431,7 @@ def assess(df: DataFrame, key_col: str | None = None,
     # ---- validity: dominant-semantic-pattern share (validity.rs:20-71).
     # Opt-in: pattern detection needs a per-column sample collect; the
     # full-column match share is then ONE combined aggregation.
-    if with_validity and str_cols:
+    if with_validity and "validity" in want and str_cols:
         from dataprof_spark.operators import patterns as _patterns
 
         doms = {}
@@ -427,7 +468,7 @@ def assess(df: DataFrame, key_col: str | None = None,
         report.confidence = "approx"
 
     # ---- timeliness
-    if ts_cols:
+    if "timeliness" in want and ts_cols:
         fut = sum(row[f"{n}__future"] for n in ts_cols)
         stale = sum(row[f"{n}__stale"] for n in ts_cols)
         nn = sum(row[f"{n}__ts_n"] for n in ts_cols)

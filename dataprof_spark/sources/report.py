@@ -161,6 +161,90 @@ class ProfileReport:
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
     # -------------------------------------------------------- markdown
+    def describe(self):
+        """Transposed statistical summary, like pandas
+        ``DataFrame.describe()`` — reference parity with
+        python/dataprof/__init__.py:1994-2031: rows are stats
+        (count, null%, unique, mean, std, min, 25%, 50%, 75%, max,
+        min_length, max_length, avg_length, true_count, false_count,
+        true_ratio), columns are dataset columns. Returns a pandas
+        DataFrame when pandas is importable, else the dict-of-dicts.
+        Rounding matches the reference: half-away-from-zero, 2dp for
+        percentages/quartiles, 4dp for statistical metrics."""
+        import decimal as _decimal
+        import math as _math
+
+        def _half_up(v, nd):
+            if v is None:
+                return None
+            try:
+                fv = float(v)
+            except (TypeError, ValueError):
+                return None
+            if not _math.isfinite(fv):
+                return None
+            with _decimal.localcontext() as ctx:
+                ctx.rounding = _decimal.ROUND_HALF_UP
+                return float(
+                    _decimal.Decimal(str(fv)).quantize(
+                        _decimal.Decimal(1).scaleb(-nd)
+                    )
+                )
+
+        summary: dict[str, dict[str, Any]] = {}
+        for c in self.columns:
+            st = c.get("stats") or {}
+            total = c.get("total_count")
+            nulls = c.get("null_count")
+            summary[c["name"]] = {
+                "count": total,
+                "null%": _half_up(
+                    100.0 * nulls / total if total else None, 2
+                ),
+                "unique": c.get("distinct_count"),
+                "mean": _half_up(st.get("mean"), 4),
+                "std": _half_up(st.get("std"), 4),
+                "min": _half_up(st.get("min"), 4),
+                "25%": _half_up(st.get("q1"), 2),
+                "50%": _half_up(st.get("median"), 2),
+                "75%": _half_up(st.get("q3"), 2),
+                "max": _half_up(st.get("max"), 4),
+                "min_length": st.get("min_length"),
+                "max_length": st.get("max_length"),
+                "avg_length": _half_up(st.get("avg_length"), 4),
+                "true_count": st.get("true_count"),
+                "false_count": st.get("false_count"),
+                "true_ratio": _half_up(st.get("true_ratio"), 4),
+            }
+        try:
+            import pandas as pd
+
+            return pd.DataFrame(summary)
+        except ImportError:
+            return summary
+
+    def quality_summary(self) -> dict[str, Any]:
+        """Single-row quality summary for easy aggregation across
+        reports (reference __init__.py:2033-2062): source, rows,
+        overall quality_score, each dimension's score (None when the
+        dimension had nothing to assess — never a vacuous 100), and
+        scan time."""
+        dims = (self.quality or {}).get("dimensions", {})
+        row: dict[str, Any] = {
+            "source": self.source,
+            "rows": self.execution.get("rows_processed"),
+            "quality_score": (self.quality or {}).get("overall_score"),
+        }
+        for d in ("completeness", "consistency", "uniqueness",
+                  "accuracy", "timeliness", "validity", "precision"):
+            row[d] = dims.get(d)
+        row["execution_time_ms"] = (
+            round(self.execution["scan_time_sec"] * 1000.0, 1)
+            if self.execution.get("scan_time_sec") is not None
+            else None
+        )
+        return row
+
     def to_markdown(self) -> str:
         lines = [f"# Profile: {self.source}", ""]
         if self.quality:
