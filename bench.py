@@ -161,15 +161,19 @@ BENCH_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache")
 BENCH_FILES = 64  # parquet files → natural input-split parallelism
 
 
-def ensure_bench_corpus(seed: int = 42) -> str:
+def ensure_bench_corpus(seed: int = 42, with_dups: bool = False) -> str:
     """Deterministic fixture corpus at bench scale (FIXTURES.md A1,
     ~100k docs), written once as 64 parquet files so Spark gets
     file-granular input splits without a repartition shuffle. Distinct
-    seeds produce disjoint same-size shards (weak-scaling bench)."""
+    seeds produce disjoint same-size shards (weak-scaling bench).
+    with_dups appends 5% exact + 3% near duplicate copies (dedup-scale
+    bench: demotion stages must be timed on non-empty loser sets)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     suffix = "" if seed == 42 else f"_s{seed}"
+    if with_dups:
+        suffix += "_dup"
     dest = os.path.join(BENCH_CACHE, f"pages_{BENCH_DOCS}{suffix}")
     marker = os.path.join(dest, "_DONE")
     if os.path.exists(marker):
@@ -178,6 +182,8 @@ def ensure_bench_corpus(seed: int = 42) -> str:
 
     os.makedirs(dest, exist_ok=True)
     rows = fixtures.generate_pages(n=BENCH_DOCS, seed=seed)
+    if with_dups:
+        rows = fixtures.inject_duplicates(rows, seed=seed)
     per_file = (len(rows) + BENCH_FILES - 1) // BENCH_FILES
     for i in range(BENCH_FILES):
         chunk = rows[i * per_file : (i + 1) * per_file]
@@ -824,16 +830,18 @@ def run_dedup_scale() -> dict:
     )
     out = {"metric": "dedup_demotion_scale", "cpus": CPUS, "scales": {}}
     for n in (8000, 80000):
-        dec_dir = os.path.join(BENCH_CACHE, f"decisions_{n}")
+        dec_dir = os.path.join(BENCH_CACHE, f"decisions_{n}_dup")
         marker = os.path.join(dec_dir, "_DONE")
         if not os.path.exists(marker):
             # one-time: phase-1 decisions for an n-doc corpus, so the
-            # timings below isolate the DEMOTION stages from the UDF
+            # timings below isolate the DEMOTION stages from the UDF.
+            # with_dups: 5% exact + 3% near copies planted so the
+            # demotion joins carry real losers, not empty sets.
             global BENCH_DOCS
             saved = BENCH_DOCS
             BENCH_DOCS = n
             try:
-                src_dir = ensure_bench_corpus()
+                src_dir = ensure_bench_corpus(with_dups=True)
             finally:
                 BENCH_DOCS = saved
             pages = spark.read.parquet(src_dir)
@@ -875,6 +883,10 @@ def run_dedup_scale() -> dict:
             }
             assert row[stage_name]["window_nodes"] == 0, (
                 "demotion plan regressed to a Window"
+            )
+            assert demoted > 0, (
+                f"{stage_name}: corpus carried no duplicates — the "
+                "timing would measure an empty demotion"
             )
         out["scales"][str(n_rows)] = row
     spark.stop()

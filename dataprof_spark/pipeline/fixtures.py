@@ -218,6 +218,58 @@ def generate_pages(
     return rows
 
 
+def inject_duplicates(
+    rows: list[dict],
+    seed: int = config.SEED,
+    exact_frac: float = 0.05,
+    near_frac: float = 0.03,
+) -> list[dict]:
+    """Deterministically append exact- and near-duplicate copies of
+    kept-class documents so the phase-2 demotion stages have real work
+    (a web corpus is full of boilerplate repeats; a dup-free bench
+    corpus times the demotion joins on empty loser sets).
+
+    - exact copies: byte-identical text under a strictly larger url
+      (``?dup=j`` suffix), so the ORIGINAL is always the canonical
+      (min-url) member and every copy is a deterministic loser.
+    - near copies: one mid-document word perturbed, which disturbs at
+      most SHINGLE_K word-3-shingles of a 40+-word doc — shingle
+      Jaccard stays well above the 0.7 verify threshold, so the copy
+      is a guaranteed near-dup candidate AND verified pair.
+
+    Appended rows carry ``_class`` 'exact_dup_copy'/'near_dup_copy';
+    the result is shuffled (seeded) so duplicates spread across file
+    splits rather than clustering in the tail partitions."""
+    rng = random.Random(seed ^ 0x5EED)
+    keepers = [
+        r for r in rows if EXPECTED_REASON.get(r["_class"]) is None
+    ]
+    if not keepers:
+        return list(rows)
+    out = list(rows)
+    for j in range(int(len(rows) * exact_frac)):
+        src = keepers[rng.randrange(len(keepers))]
+        out.append(
+            {**src, "url": src["url"] + f"?dup={j}",
+             "_class": "exact_dup_copy"}
+        )
+    for j in range(int(len(rows) * near_frac)):
+        src = keepers[rng.randrange(len(keepers))]
+        words = src["text"].split()
+        if len(words) > 10:
+            k = rng.randrange(3, len(words) - 3)
+            words[k] = words[k] + "x"
+        ntext = " ".join(words)
+        out.append(
+            {**src, "url": src["url"] + f"?near={j}", "text": ntext,
+             "html": b"<html><body>" + ntext.encode("utf-8")
+             + b"</body></html>",
+             "_class": "near_dup_copy"}
+        )
+    rng.shuffle(out)
+    return out
+
+
 def pages_df(spark, rows: list[dict] | None = None, n: int = 1000):
     """Spark DataFrame with the exact input_hint schema."""
     from pyspark.sql import types as T
