@@ -854,16 +854,22 @@ def run_dedup_scale() -> dict:
             ("mark_exact_duplicates", dedup_stage.mark_exact_duplicates),
             ("mark_near_duplicates", dedup_stage.mark_near_duplicates),
         ):
-            df = fn(decisions)
-
+            # end-to-end per run: plan build INCLUDING the r5
+            # candidate-materialization job (persist+count inside
+            # ngram_jaccard_pairs) + full demotion write, cache
+            # cleared between runs so nothing rides a prior run.
             def job():
-                df.write.format("noop").mode("overwrite").save()
+                d = fn(decisions)
+                d.write.format("noop").mode("overwrite").save()
+                return d
 
-            job()  # warm-up
+            spark.catalog.clearCache()
+            df = job()  # warm-up
             times = []
             for _ in range(3):
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                job()
+                df = job()
                 times.append(time.perf_counter() - t0)
             plan = (
                 df._jdf.queryExecution().executedPlan().toString()
