@@ -465,10 +465,25 @@ def memory_bandwidth_probe(attempts: int = 2) -> dict:
                 raise RuntimeError(f"bandwidth probe failed: {why}")
             time.sleep(0.05)
         open(os.path.join(bdir, "go"), "w").close()
-        return sum(
-            float(p.communicate(timeout=300)[0].strip().splitlines()[-1])
-            for p in procs
-        )
+        try:
+            return sum(
+                float(
+                    p.communicate(timeout=300)[0].strip().splitlines()[-1]
+                )
+                for p in procs
+            )
+        except Exception:
+            # a stalled/garbled worker must not leave the other pinned
+            # STREAM processes saturating DRAM into the NEXT measured
+            # window (contamination steal_pct cannot see)
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    try:
+                        p.communicate(timeout=10)
+                    except Exception:
+                        pass
+            raise
 
     def attempt():
         bw1 = phase(["0-7"])

@@ -214,6 +214,14 @@ def profile(
         packs = {"schema", "statistics"} | (
             {"quality"} if quality else set()
         ) | ({"patterns"} if patterns else set())
+    if quality_dimensions is not None and not quality:
+        # fail loudly: narrowing a pass that will not run is a
+        # request the caller thinks they made but did not
+        raise ValueError(
+            "quality_dimensions given but the quality pack is off "
+            "(metrics without 'quality', or quality=False) — add "
+            "'quality' to metrics or drop quality_dimensions"
+        )
     meta: dict[str, Any] = {}
     if isinstance(source, str):
         df, meta = _load_path(
@@ -249,18 +257,23 @@ def profile(
         df = cap.df
     poller = None
     sink = None
-    if on_progress is not None:
-        from dataprof_spark.progress import JobProgressPoller, ProgressSink
-
-        sink = ProgressSink(
-            callback=on_progress,
-            min_interval_s=(progress_interval_ms or 500) / 1000.0,
-        )
-        sink.started()
-        sink.schema([f.name for f in df.schema.fields])
-        poller = JobProgressPoller(spark, sink)
-        poller.__enter__()
     try:
+        # progress setup sits INSIDE the try: a raising on_progress
+        # callback must still release the cached capped DataFrame
+        if on_progress is not None:
+            from dataprof_spark.progress import (
+                JobProgressPoller,
+                ProgressSink,
+            )
+
+            sink = ProgressSink(
+                callback=on_progress,
+                min_interval_s=(progress_interval_ms or 500) / 1000.0,
+            )
+            sink.started()
+            sink.schema([f.name for f in df.schema.fields])
+            poller = JobProgressPoller(spark, sink)
+            poller.__enter__()
         t0 = time.perf_counter()
         if "statistics" in packs:
             profiles = _profiler.profile(
@@ -440,17 +453,17 @@ class Profiler:
         """Set an early-stop condition (operators.stop_conditions).
         Applied via its row-limit bound when it has one; recorded
         otherwise (no chunk loop in a whole-stage Spark scan)."""
+        # the combinators compose their own bound (AnyOf: min of the
+        # children; AllOf: max, or None when any child is unbounded —
+        # rows alone can then never fire it). No fallback over
+        # .conditions here: a min() over AllOf children would silently
+        # truncate the profile in exactly the cases where None is the
+        # correct answer.
         limit = None
         try:
             limit = cond.max_rows()
         except AttributeError:
             pass
-        if limit is None and hasattr(cond, "conditions"):
-            limits = [
-                c.max_rows() for c in cond.conditions
-                if c.max_rows() is not None
-            ]
-            limit = min(limits) if limits else None
         if limit is not None:
             self._kwargs["max_rows"] = limit
         self._recorded["stop_condition"] = repr(cond)

@@ -225,9 +225,16 @@ def ngram_jaccard_pairs(
         exceed the broadcast threshold.
     End-to-end at 86k docs / 44k kept, materialization included in
     the timed window: full near-dup demotion 21.8 s (r4, corpus-wide
-    shingle ×2) → 14.6 s; the verify stage alone is 3.6 s. The
-    persisted candidates are MEMORY_AND_DISK and LRU-evictable;
-    callers owning a long session can `spark.catalog.clearCache()`.
+    shingle ×2) → 14.6 s; the verify stage alone is 3.6 s.
+
+    Cache lifecycle: the persisted candidates are MEMORY_AND_DISK.
+    The handle is attached to the returned DataFrame as
+    ``_dataprof_pairs_cache`` — a long-lived session running the
+    stage repeatedly should ``ret._dataprof_pairs_cache.unpersist()``
+    once the result is fully materialized (each invocation otherwise
+    adds one cached pair table until eviction/clearCache; the memory
+    copies are LRU-evictable, so this is a disk-footprint concern,
+    not a correctness one).
     """
     if materialize:
         from pyspark import StorageLevel
@@ -263,7 +270,7 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         j.select(
             "id_a",
             "id_b",
@@ -273,6 +280,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if materialize:
+        out._dataprof_pairs_cache = pairs
+    return out
 
 
 def near_dup_minhash(

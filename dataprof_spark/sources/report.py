@@ -185,11 +185,17 @@ class ProfileReport:
                 return None
             with _decimal.localcontext() as ctx:
                 ctx.rounding = _decimal.ROUND_HALF_UP
-                return float(
-                    _decimal.Decimal(str(fv)).quantize(
-                        _decimal.Decimal(1).scaleb(-nd)
+                try:
+                    return float(
+                        _decimal.Decimal(str(fv)).quantize(
+                            _decimal.Decimal(1).scaleb(-nd)
+                        )
                     )
-                )
+                except _decimal.InvalidOperation:
+                    # |v| ≳ 1e25: quantize to nd places needs more
+                    # digits than the context holds — the value has no
+                    # fractional part at that magnitude anyway
+                    return fv
 
         summary: dict[str, dict[str, Any]] = {}
         for c in self.columns:

@@ -150,7 +150,10 @@ def _count_csv_records_exact(path: str) -> int:
     n = 0
     with open(path, encoding=py_enc, errors="replace", newline="") as f:
         for rec in _csv.reader(f, delimiter=sep):
-            if any(cell.strip() for cell in rec):
+            # skip only truly blank lines ([] or ['']); a ',,' line is
+            # a real record of empty fields and Spark reads it as a
+            # row, so dropping it would make the 'exact' count wrong
+            if len(rec) > 1 or (rec and rec[0].strip()):
                 n += 1
     return max(0, n - 1)  # header
 

@@ -253,3 +253,56 @@ def test_async_profile_file_and_structure(tmp_path):
     rep, struct = asyncio.run(go())
     assert rep.execution["rows_processed"] == 3
     assert struct.row_count.count == 3
+
+
+# ------------------------------------------- r5 review regressions
+def test_allof_stop_condition_never_truncates():
+    """AllOf with an unbounded child: rows alone can never fire it,
+    so the builder must NOT derive a row cap (the old fallback took
+    min() of the bounded children and silently truncated the
+    profile)."""
+    from dataprof_spark.operators import stop_conditions as _sc
+
+    cond = _sc.AllOf(conditions=[
+        _sc.MaxRows(100), _sc.MemoryPressure(0.9),
+    ])
+    assert cond.max_rows() is None
+    b = facade.Profiler().stop_condition(cond)
+    assert "max_rows" not in b._kwargs
+    # both bounded: AllOf needs BOTH to fire -> max, not min
+    both = _sc.AllOf(conditions=[_sc.MaxRows(100), _sc.MaxRows(500)])
+    assert facade.Profiler().stop_condition(both)._kwargs[
+        "max_rows"] == 500
+    # AnyOf keeps composing to the min
+    any_ = _sc.AnyOf(conditions=[_sc.MaxRows(100), _sc.MaxRows(500)])
+    assert facade.Profiler().stop_condition(any_)._kwargs[
+        "max_rows"] == 100
+
+
+def test_describe_survives_huge_magnitudes():
+    """Decimal.quantize to 2/4 places cannot represent |v| >= ~1e25
+    under the default 28-digit context; describe() must return the
+    value unrounded instead of raising InvalidOperation."""
+    from dataprof_spark.sources.report import ProfileReport
+
+    rep = ProfileReport(
+        source="synthetic",
+        columns=[{
+            "name": "huge", "total_count": 3, "null_count": 0,
+            "distinct_count": 3,
+            "stats": {"mean": 1e30, "std": 2.5e27, "min": -1e30,
+                      "q1": 1e26, "median": 1.5e30, "q3": 2e30,
+                      "max": 3e30},
+        }],
+    )
+    df = rep.describe()
+    assert float(df.loc["mean", "huge"]) == 1e30
+    assert float(df.loc["max", "huge"]) == 3e30
+
+
+def test_quality_dimensions_without_quality_pack_raises(orders_df):
+    with pytest.raises(ValueError, match="quality pack is off"):
+        facade.profile(
+            orders_df, metrics=["schema"],
+            quality_dimensions=["completeness"],
+        )

@@ -207,3 +207,13 @@ def test_list_patterns_facade():
     it = facade.list_patterns(locale="IT")
     assert all(p["locale"] in (None, "IT") for p in it)
     assert len(it) < len(pats)
+
+
+def test_csv_all_empty_field_record_counted(tmp_path):
+    """',,' is a record of empty fields — Spark reads it as a row, so
+    the exact record count must include it; truly blank lines are
+    still skipped (r5 review)."""
+    p = tmp_path / "empties.csv"
+    p.write_text("a,b\n1,2\n,\n\n3,4\n")
+    est = structure.quick_row_count(str(p))
+    assert est.exact and est.count == 3
