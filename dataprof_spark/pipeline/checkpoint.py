@@ -217,8 +217,14 @@ def run(
     # column-pruned to the counter columns) — never a re-scan of the
     # input, never a per-bucket job loop.
     spark = pages.sparkSession
-    written = spark.read.parquet(dest).filter(
-        F.col("part_key").isin(pending)
+    # explicit schema: an EMPTY input writes no parquet files at all
+    # (only _SUCCESS), and schema inference over that dir raises
+    # UNABLE_TO_INFER_SCHEMA — the run must instead proceed to write
+    # zero-count 'done' manifests so retries don't spin forever
+    written = (
+        spark.read.schema(decisions.schema).parquet(dest).filter(
+            F.col("part_key").isin(pending)
+        )
     )
     base = {
         int(r["part_key"]): {"docs_in": r["docs_in"], "docs_out": r["docs_out"]}
@@ -318,9 +324,24 @@ def compact(
     rows_total = df.count()
     per_part = max(1, rows_total // max(1, n_parts))
     files_per_part = max(1, -(-per_part // target_records_per_file))
+    # hash-repartition BY part_key ALONE put each bucket's every row
+    # into ONE task no matter how many partitions were requested (the
+    # old n_parts*files_per_part multiplier was dead — a 100 GB
+    # bucket compacted in one straggler task while the extra
+    # partitions sat empty). A deterministic per-url slot splits each
+    # bucket across ~files_per_part tasks of ~target rows each;
+    # partitionBy still routes rows to their part_key dir, and
+    # maxRecordsPerFile does the file sizing.
     (
-        df.repartition(n_parts * files_per_part, "part_key")
+        df.withColumn(
+            "__slot",
+            F.pmod(F.xxhash64("url"), F.lit(files_per_part)),
+        )
+        .repartition(
+            max(1, n_parts * files_per_part), "part_key", "__slot"
+        )
         .sortWithinPartitions("part_key", "url")
+        .drop("__slot")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", target_records_per_file)

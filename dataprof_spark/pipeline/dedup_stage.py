@@ -131,7 +131,13 @@ def label_exact_duplicates(rows: list[dict]) -> list[dict]:
     import re
 
     def fp(text: str) -> str:
-        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        # dialect parity with the Spark side (regexp_replace + trim):
+        # Java \s is ASCII-only — Python's Unicode \s would collapse
+        # NBSP etc. and fingerprint DIFFERENTLY on such docs — and
+        # F.trim strips only 0x20, so strip(" "), not strip()
+        norm = re.sub(
+            r"\s+", " ", text.lower(), flags=re.ASCII
+        ).strip(" ")
         return hashlib.md5(norm.encode("utf-8")).hexdigest()
 
     canonical: dict[str, str] = {}

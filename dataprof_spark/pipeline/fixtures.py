@@ -17,7 +17,7 @@ symbol_heavy        drop: symbol_ratio
 ellipsis_heavy      drop: ellipsis_ratio
 no_stopwords        drop: stopword_ratio
 dup_lines           drop: dup_line_fraction
-clean_fr/de/es      keep (stopword gate is en-only)
+clean_fr/de         keep (stopword gate is en-only)
 lang_mismatch       drop: lang_mismatch (en text, claimed fr)
 mojibake            drop: garbled_encoding
 gibberish           drop: high_perplexity
@@ -56,12 +56,6 @@ _DE_WORDS = (
     "der hund läuft durch den park und die kinder spielen mit dem "
     "ball auf der wiese während die sonne scheint und ein vogel "
     "singt im baum nicht weit von dem haus für die familie"
-).split()
-
-_ES_WORDS = (
-    "el perro corre por el parque y los niños juegan con la pelota "
-    "en la hierba mientras el sol brilla y un pájaro canta en el "
-    "árbol cerca de la casa para la familia como siempre"
 ).split()
 
 _GIB_SYLLABLES = ["zqx", "jkz", "qxj", "wzq", "xkz", "zjq", "kqz", "xqw"]

@@ -109,7 +109,10 @@ def main(argv: list[str] | None = None) -> int:
 
         from dataprof_spark.pipeline import dedup_stage
 
-        dec = spark.read.parquet(args.output)
+        # read the decisions TABLE, not the output root: root-level
+        # partition discovery only works while decisions/ is the sole
+        # non-underscore entry under the output dir
+        dec = checkpoint.read_decisions(spark, args.output)
         dec = dedup_stage.mark_exact_duplicates(dec)
         if args.dedup == "near":
             dec = dedup_stage.mark_near_duplicates(

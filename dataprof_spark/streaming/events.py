@@ -68,7 +68,14 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a timed-out drain must not look like success: the sink is
+        # missing trailing batches and the query keeps writing
+        q.stop()
+        raise TimeoutError(
+            f"stream drain into '{table_name}' did not finish within "
+            f"{timeout_s}s"
+        )
 
 
 def streaming_quality_gate(stream: DataFrame) -> DataFrame:

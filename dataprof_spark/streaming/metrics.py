@@ -98,7 +98,15 @@ def run_gated_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a timed-out drain must not look like success: the tables
+        # are missing trailing batches (the conservation-law
+        # reconciliation would silently break) and the query keeps
+        # writing into directories the caller is about to read
+        q.stop()
+        raise TimeoutError(
+            f"gated stream drain did not finish within {timeout_s}s"
+        )
 
 
 def read_stream_metrics(spark, out_dir: str) -> DataFrame:

@@ -58,7 +58,6 @@ def _sessionize_group(
     if state.exists:
         start, last, n, total = state.get
     else:
-        start = last = None, None  # placeholder, set below
         start, last, n, total = None, None, 0, 0.0
     for _, e in events.iterrows():
         ts = int(e["ts"].timestamp())
@@ -77,33 +76,58 @@ def _sessionize_group(
                 }
             )
             start, n, total = ts, 0, 0.0
-        if start is None:
-            start = ts
-        last = ts
+        # a late (out-of-order but within-watermark) event must never
+        # move the session's bounds backwards/forwards wrongly: it can
+        # only widen [start, last]. Without the max() a late event in
+        # a later micro-batch dragged `last` back and the next on-time
+        # event false-split the session.
+        start = ts if start is None else min(start, ts)
+        last = ts if last is None else max(last, ts)
         n += 1
         total += float(e["value"])
     state.update((start, last, n, total))
-    state.setTimeoutDuration(gap_seconds * 1000)
+    # EVENT-time close (the documented contract): fire when the
+    # watermark passes last + gap. Clamped one ms past the current
+    # watermark — setTimeoutTimestamp at-or-before it is an error.
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(
+        max((last + gap_seconds) * 1000, wm_ms + 1)
+    )
     yield pd.DataFrame(rows)
 
 
-def sessionize(stream: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
+def sessionize(
+    stream: DataFrame,
+    gap_seconds: int = GAP_SECONDS,
+    late_threshold: str = "10 minutes",
+) -> DataFrame:
     """Stateful sessionization over a streaming events DataFrame.
 
     ``gap_seconds`` is threaded into the group kernel (both the gap
     comparison and the state timeout) via functools.partial — callers
     requesting a custom gap get it, not the 30-min default (ADVICE r1).
+
+    Session close is EVENT-time (r5): the stream carries a watermark
+    (``late_threshold`` of allowed disorder) and the state times out
+    when the watermark passes last_event + gap — wall-clock stalls can
+    no longer split a session whose event-time gaps never exceeded
+    ``gap_seconds`` (the old ProcessingTimeTimeout did exactly that,
+    and conversely never fired at all in bounded availableNow
+    drains). Events later than the watermark are dropped by Spark;
+    within-threshold disorder is handled in the kernel (bounds only
+    widen).
     """
     import functools
 
     return (
         stream.select("user_id", "ts", "value")
+        .withWatermark("ts", late_threshold)
         .groupBy("user_id")
         .applyInPandasWithState(
             functools.partial(_sessionize_group, gap_seconds=gap_seconds),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -182,3 +182,19 @@ def test_compact_preserves_content(spark, tmp_path):
     files = glob.glob(f"{out}/decisions/part_key=*/*.parquet")
     assert len(files) == 2  # one compacted file per partition
     assert _table_hash(spark, out) == before_hash
+
+
+def test_empty_input_writes_zero_count_manifests(spark, tmp_path):
+    """An empty input (e.g. an empty day-partition of the crawl) must
+    complete and mark every bucket done with zero counts — not die on
+    UNABLE_TO_INFER_SCHEMA reading back a file-less output (r5
+    review) — so retries don't spin forever."""
+    import pyspark.sql.functions as F
+
+    pages = fixtures.pages_df(spark, n=64).filter(F.lit(False))
+    rows = checkpoint.run(pages, str(tmp_path / "empty"), n_buckets=4)
+    assert len(rows) == 4
+    assert all(r["status"] == "done" for r in rows)
+    assert all(r["docs_in"] == 0 and r["docs_out"] == 0 for r in rows)
+    # resume is a no-op: everything already done
+    assert checkpoint.run(pages, str(tmp_path / "empty"), n_buckets=4) == []

@@ -250,3 +250,62 @@ def test_sessionize_stream_batch_parity(spark, tmp_path):
     assert streamed, "streaming emitted no closed sessions"
     assert streamed <= batch
     assert len(streamed) >= 6
+
+
+def test_sessionize_kernel_late_event_never_splits():
+    """A late (within-watermark) event arriving in a later micro-batch
+    must only WIDEN the session bounds: before r5 it dragged `last`
+    backwards and the next on-time event false-split the session."""
+    import pandas as pd
+
+    from dataprof_spark.streaming import sessionize as ss
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    state = FakeState()
+
+    def batch(*ts):
+        return [pd.DataFrame({
+            "ts": pd.to_datetime(list(ts), unit="s"),
+            "value": [1.0] * len(ts),
+        })]
+
+    t0 = 1_700_000_000
+    # batch 1: one event at t0+3600
+    out1 = list(ss._sessionize_group(
+        (7,), batch(t0 + 3600), state, gap_seconds=1800))
+    assert sum(len(p) for p in out1) == 0
+    # batch 2: late event at t0 (gap>1800 BEFORE the session) plus an
+    # on-time event at t0+4800 (20 min after the last on-time one)
+    out2 = list(ss._sessionize_group(
+        (7,), batch(t0, t0 + 4800), state, gap_seconds=1800))
+    # the late event may close ITS OWN earlier pseudo-session, but the
+    # 20-min-later on-time event must NOT be split from t0+3600
+    start, last, n, total = state.get
+    assert last == t0 + 4800
+    for p in out2:
+        for _, r in p.iterrows():
+            assert int(r["session_end"].timestamp()) != t0, (
+                "on-time event was split off because a late event "
+                "dragged `last` backwards"
+            )
+    # timeout is event-time anchored: last + gap
+    assert state.timeout_ms == (last + 1800) * 1000
