@@ -34,10 +34,20 @@ _NUMERIC_TYPES = (
     T.FloatType, T.DoubleType, T.DecimalType,
 )
 _DATE_REGEXES = (
-    # the reference's 8 date shapes (inference.rs:12-31), as one union
-    r"^\d{4}-\d{2}-\d{2}$|^\d{2}/\d{2}/\d{4}$|^\d{2}-\d{2}-\d{4}$"
-    r"|^\d{4}/\d{2}/\d{2}$|^\d{2}\.\d{2}\.\d{4}$"
-    r"|^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2})?"
+    # the reference's 8 date shapes (inference.rs:12-31), every
+    # alternative anchored at BOTH ends — kept in lockstep with
+    # sources/structure._DATE_RE (ADVICE r4: the old union was
+    # end-unanchored, so minutes-only '2024-01-01 10:30' and trailing
+    # garbage matched, and the DD/MM/YYYY datetime shape was missing)
+    r"^(\d{4}-\d{2}-\d{2}"
+    r"|\d{2}/\d{2}/\d{4}"
+    r"|\d{2}-\d{2}-\d{4}"
+    r"|\d{4}/\d{2}/\d{2}"
+    r"|\d{2}\.\d{2}\.\d{4}"
+    r"|\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?"
+    r"|\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"
+    r"|\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2}"
+    r")$"
 )
 
 
@@ -57,6 +67,26 @@ class ColumnProfile:
 
 def _is_numeric(dtype: T.DataType) -> bool:
     return isinstance(dtype, _NUMERIC_TYPES)
+
+
+def _fits_i64(c):
+    """Native twin of Rust `str::parse::<i64>()` on a trimmed string
+    (structure._parses_as_i64): sign + digits AND within i64 range.
+    Range is checked lexicographically on the zero-stripped digit
+    string (equal-length digit strings compare numerically), so a
+    21-digit id column infers float — as the reference does — instead
+    of integer. No try_cast: exception-driven on non-numeric strings
+    (r3 measurement)."""
+    digits = F.regexp_replace(c, r"^[+-]", "")
+    # strip leading zeros but keep at least one digit
+    norm = F.regexp_replace(digits, r"^0+(?=.)", "")
+    in_range = (F.length(norm) < 19) | (
+        (F.length(norm) == 19)
+        & F.when(
+            c.startswith("-"), norm <= F.lit("9223372036854775808")
+        ).otherwise(norm <= F.lit("9223372036854775807"))
+    )
+    return c.rlike(r"^[+-]?[0-9]+$") & in_range
 
 
 def _is_temporal(dtype: T.DataType) -> bool:
@@ -196,7 +226,7 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
                 # finite-numeric predicate (P2) more closely: "NaN"/
                 # "Infinity" spellings don't count as numbers.
                 F.avg(
-                    F.trim(nn).rlike("^[+-]?[0-9]+$").cast("double")
+                    _fits_i64(F.trim(nn)).cast("double")
                 ).alias(f"{n}__int_ratio"),
                 F.avg(
                     F.trim(nn).rlike(
@@ -207,7 +237,9 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
                 F.avg(
                     F.lower(F.trim(nn)).isin("true", "false").cast("double")
                 ).alias(f"{n}__bool_ratio"),
-                F.avg(nn.rlike(_DATE_REGEXES).cast("double")).alias(
+                # trimmed like the other probes (structure.py trims
+                # every value before its type checks — parity)
+                F.avg(F.trim(nn).rlike(_DATE_REGEXES).cast("double")).alias(
                     f"{n}__date_ratio"
                 ),
             ]

@@ -77,6 +77,41 @@ def test_inference_rules_on_string_columns(spark):
     assert "null_column" in ps["nulls"].flags
 
 
+def test_inference_parity_edges(spark):
+    """The Spark-side probes must agree with the (reference-parity)
+    driver-side rules in sources/structure.py (ADVICE r4 twin):
+    i64 RANGE bounds the integer probe, the datetime shape is
+    end-anchored (minutes-only is NOT a date), DD/MM/YYYY datetimes
+    count, and values are trimmed before the date check."""
+    rows = [
+        # over_i64: 21-digit ids parse as f64 but not i64 → float
+        ("99999999999999999999", "2024-01-01 10:30", "01/02/2024 10:30:05"),
+        ("9223372036854775807", "2024-01-01 10:30", " 2024-01-02 "),
+        ("-9223372036854775808", "2024-01-01 10:30", "2024-01-03T04:05:06.7"),
+        ("+0000000000000000042", "2024-01-01 10:30", "2024-01-04 05:06:07"),
+    ]
+    df = spark.createDataFrame(
+        rows, "edge_int string, minutes_only string, dt_shapes string"
+    )
+    ps = {p.name: p for p in profiler.profile(df)}
+    # row 1 exceeds i64 → not 100% integer; all parse as f64 → float
+    assert ps["edge_int"].inferred_type == "float"
+    # end-unanchored regex used to call minutes-only a date
+    assert ps["minutes_only"].inferred_type == "string"
+    # DD/MM/YYYY datetime + padded date + fractional ISO all count
+    assert ps["dt_shapes"].inferred_type == "date"
+
+
+def test_i64_boundary_probe(spark):
+    rows = [("9223372036854775807",), ("-9223372036854775808",),
+            ("9223372036854775808",), ("-9223372036854775809",)]
+    df = spark.createDataFrame(rows, "v string")
+    got = df.select(
+        profiler._fits_i64(F.trim(F.col("v"))).alias("ok")
+    ).collect()
+    assert [r["ok"] for r in got] == [True, True, False, False]
+
+
 def test_key_name_heuristic():
     assert profiler._is_key_named("user_id")
     assert profiler._is_key_named("orderKey")
