@@ -52,5 +52,8 @@ def salted_count_sum(
 
 
 def domain_of(url: Column) -> Column:
-    """Domain extraction for web URLs (the natural-but-skewed key)."""
-    return F.regexp_extract(url, r"^[a-z]+://([^/]+)/", 1)
+    """Domain extraction for web URLs (the natural-but-skewed key).
+    No trailing-slash requirement: 'https://example.com' must yield
+    'example.com', not '' — an empty-domain bucket for every path-less
+    URL would itself be a manufactured hot key."""
+    return F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)

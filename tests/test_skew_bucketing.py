@@ -21,6 +21,15 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def test_domain_of_pathless_url(spark):
+    df = spark.createDataFrame(
+        [("https://example.com",), ("https://example.com/a/b",),
+         ("http://x.org?q=1",)], "url string"
+    )
+    got = [r[0] for r in df.select(skew.domain_of(F.col("url"))).collect()]
+    assert got == ["example.com", "example.com", "x.org"]
+
+
 def test_salted_agg_matches_plain(spark):
     rows = fixtures.generate_pages(n=400)
     pages = fixtures.pages_df(spark, rows).withColumn(
