@@ -99,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
         "docs_in": sum(r["docs_in"] for r in rows),
         "docs_out": sum(r["docs_out"] for r in rows),
         "output": args.output,
+        "master": spark.sparkContext.master,
     }
     if args.compact:
         summary["files_after_compaction"] = checkpoint.compact(

@@ -20,13 +20,26 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
+    # Under spark-submit the driver connects to the launcher's JVM
+    # gateway (PythonRunner exports PYSPARK_GATEWAY_PORT): master and
+    # sizing then come from the submit line / cluster defaults, and
+    # forcing local[N] here would silently turn `spark-submit
+    # --master yarn` into a single-node run. Only default them for
+    # plain-python embedding (tests, bench, notebooks).
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None and not submitted:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
