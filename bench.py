@@ -42,6 +42,21 @@ def _consume(df) -> int:
     return -1
 
 
+def _steal_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — objective record of
+    hypervisor interference across a measured window. NOTE (r4/r5
+    finding): steal does NOT see co-tenant DRAM-bandwidth pressure;
+    the STREAM probe covers that axis."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(v) for v in parts[1:]]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
+def _steal_pct(t0: tuple[int, int], t1: tuple[int, int]) -> float:
+    return round(100.0 * (t1[0] - t0[0]) / max(1, t1[1] - t0[1]), 2)
+
+
 def run_headline() -> dict:
     """Median-of-N timing per query (N = $BENCH_TRIALS, default 5),
     after a per-query warm-up execution. Single-shot timings on a
@@ -56,36 +71,63 @@ def run_headline() -> dict:
     from dataprof_spark.session import get_spark
 
     n_trials = max(1, int(os.environ.get("BENCH_TRIALS", "5")))
+
+    # ----- window self-certification (VERDICT r5 #1) -------------------
+    # BENCH_r05's 14% "regression" was a uniform shift across queries
+    # whose code had not changed, timestamped ~30 min after the round's
+    # measured clean window closed. The artifact must carry enough
+    # host-state evidence to certify (or indict) its own window, so:
+    # a STREAM DRAM probe before and after the timed suite (the axis
+    # /proc/stat steal cannot see), per-query steal%, and loadavg.
+    # Probes run OUTSIDE the timed windows. BENCH_SKIP_PROBE=1 skips
+    # them (sub-32-core hosts degrade gracefully inside the probe too).
+    skip_probe = os.environ.get("BENCH_SKIP_PROBE", "0") == "1"
+    load_pre = open("/proc/loadavg").read().split()[:3]
+    probe_pre = {} if skip_probe else memory_bandwidth_probe(attempts=1)
+
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     reg = q.registry()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    steal_q: dict[str, float] = {}
 
-    def time_df(df) -> tuple[float, list[float]]:
+    def time_df(df) -> tuple[float, list[float], float]:
         _consume(df)  # per-query JIT / Python-worker warm-up
         runs = []
+        s0 = _steal_ticks()
         for _ in range(n_trials):
             t0 = time.perf_counter()
             _consume(df)
             runs.append(time.perf_counter() - t0)
+        s1 = _steal_ticks()
         med = statistics.median(runs)
-        return med, [round(min(runs), 3), round(max(runs), 3)]
+        return med, [round(min(runs), 3), round(max(runs), 3)], \
+            _steal_pct(s0, s1)
 
     # warm the JVM + parquet footers once
     _consume(reg["q1_pricing_summary"][0](spark, SF_DIR))
+    suite_s0 = _steal_ticks()
+    suite_t0 = time.time()
     for name in HEADLINE:
         fn, _sql = reg[name]
-        med, mm = time_df(fn(spark, SF_DIR))
+        med, mm, stl = time_df(fn(spark, SF_DIR))
         timings[name] = round(med, 3)
         spread[name] = mm
+        steal_q[name] = stl
     # full pipeline (UDF stages), reported as its own entry
     import __spark_entry__ as entry_mod
 
     pipe_df = entry_mod._pipeline_decisions(spark, SF_DIR)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    pipe_s, pipe_mm = time_df(pipe_df)
+    pipe_s, pipe_mm, pipe_stl = time_df(pipe_df)
     timings["pipeline_decisions"] = round(pipe_s, 3)
     spread["pipeline_decisions"] = pipe_mm
+    steal_q["pipeline_decisions"] = pipe_stl
+    suite_s1 = _steal_ticks()
+    spark.stop()
+    probe_post = {} if skip_probe else memory_bandwidth_probe(attempts=1)
+    load_post = open("/proc/loadavg").read().split()[:3]
+
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else SF_DIR
     result = {
@@ -99,8 +141,23 @@ def run_headline() -> dict:
         "protocol": f"median of {n_trials} timed runs per query "
                     "after 1 warm-up run",
         "spread_min_max": spread,
+        "window": {
+            "steal_pct_suite": _steal_pct(suite_s0, suite_s1),
+            "steal_pct_per_query": steal_q,
+            "suite_wall_sec": round(time.time() - suite_t0, 1),
+            "loadavg_pre": load_pre,
+            "loadavg_post": load_post,
+            "stream_probe_pre": probe_pre,
+            "stream_probe_post": probe_post,
+            "at_unix": round(time.time(), 1),
+            "note": (
+                "probes run outside the timed windows; a pre/post "
+                "bw_scaling_eff far below ~0.4 or bw_1group far below "
+                "~70 GB/s marks a co-tenant-loaded window (r4/r5 "
+                "attribution data) — steal% alone cannot certify"
+            ),
+        },
     }
-    spark.stop()
     return result
 
 
@@ -820,11 +877,15 @@ def run_scaling_hunt(out_path: str = "BENCH/scaling_hunt_r5.json") -> dict:
     spacing = int(os.environ.get("BENCH_HUNT_SPACING_S", "480"))
     max_pairs = int(os.environ.get("BENCH_HUNT_PAIRS", "12"))
     deadline_min = float(os.environ.get("BENCH_HUNT_DEADLINE_MIN", "300"))
+    out_path = os.environ.get("BENCH_HUNT_OUT", out_path)
 
     state = {"pairs": []}
     if os.path.exists(out_path):
         with open(out_path) as f:
             state = json.load(f)
+    # production-weight profile: langid memo cache off. Restore the
+    # caller's prior value on exit instead of clobbering it (ADVICE r5).
+    prior_cache = os.environ.get("DATAPROF_LANGID_CACHE")
     os.environ["DATAPROF_LANGID_CACHE"] = "0"
     try:
         one_pair = _executor_machinery()
@@ -861,7 +922,10 @@ def run_scaling_hunt(out_path: str = "BENCH/scaling_hunt_r5.json") -> dict:
                 break
             time.sleep(max(0.0, min(spacing, t_end - time.time())))
     finally:
-        os.environ.pop("DATAPROF_LANGID_CACHE", None)
+        if prior_cache is None:
+            os.environ.pop("DATAPROF_LANGID_CACHE", None)
+        else:
+            os.environ["DATAPROF_LANGID_CACHE"] = prior_cache
     return state
 
 
@@ -938,6 +1002,20 @@ def run_sf1() -> dict:
         result["approx_provenance_flagged"] = any(
             p.stats.get("quartiles_approximate") for p in profs
         )
+        # coarse cardinality tier (r6, VERDICT r5 #4): same profile
+        # with the rsd=0.05 HLL and no exact follow-up — the parity
+        # HLL at rsd=0.008 dominated the 42.6 s full-profile wall
+        t0 = time.perf_counter()
+        profs_c = profiler.profile(
+            spark.read.parquet(f"{sf1_dir}/lineitem.parquet"),
+            use_approx_percentiles=True, cardinality="coarse",
+        )
+        result["profile_lineitem_coarse_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        result["coarse_provenance_flagged"] = all(
+            p.distinct_confidence == "coarse_hll" for p in profs_c
+        )
         spark.stop()
     finally:
         SF_DIR = old
@@ -963,7 +1041,16 @@ def run_dedup_scale() -> dict:
         app_name="bench_dedup_scale", master=f"local[{CPUS}]"
     )
     out = {"metric": "dedup_demotion_scale", "cpus": CPUS, "scales": {}}
-    for n in (8000, 80000):
+    # r6 (VERDICT r5 #3): third scale point at 800k docs (~864k rows
+    # with planted dups) — the 100 TB claim wants a TREND, not two
+    # points: exact stays fixed-overhead-dominated, near holds
+    # wall-ratio ≲ doc-ratio.
+    scales = tuple(
+        int(s) for s in os.environ.get(
+            "BENCH_DEDUP_SCALES", "8000,80000,800000"
+        ).split(",")
+    )
+    for n in scales:
         dec_dir = os.path.join(BENCH_CACHE, f"decisions_{n}_dup")
         marker = os.path.join(dec_dir, "_DONE")
         if not os.path.exists(marker):
@@ -1031,19 +1118,18 @@ def run_dedup_scale() -> dict:
         out["scales"][str(n_rows)] = row
     spark.stop()
     s = out["scales"]
-    if len(s) == 2:
-        (small_k, small), (big_k, big) = sorted(
-            s.items(), key=lambda kv: int(kv[0])
-        )
-        ratio = int(big_k) / int(small_k)
-        out["scaleup_note"] = {
-            st: {
-                "wall_ratio_at_{:.0f}x_docs".format(ratio): round(
-                    big[st]["wall_sec"] / small[st]["wall_sec"], 2
-                )
-            }
-            for st in ("mark_exact_duplicates", "mark_near_duplicates")
-        }
+    if len(s) >= 2:
+        ordered = sorted(s.items(), key=lambda kv: int(kv[0]))
+        out["scaleup_note"] = {}
+        for st in ("mark_exact_duplicates", "mark_near_duplicates"):
+            segs = {}
+            for (ak, a), (bk, b) in zip(ordered, ordered[1:]):
+                ratio = int(bk) / int(ak)
+                segs[
+                    f"wall_ratio_{ak}_to_{bk}_docs_"
+                    f"({ratio:.0f}x)"
+                ] = round(b[st]["wall_sec"] / a[st]["wall_sec"], 2)
+            out["scaleup_note"][st] = segs
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/DEDUP_SCALE.json", "w") as f:
         json.dump(out, f, indent=1)

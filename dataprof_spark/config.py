@@ -107,6 +107,11 @@ BLOCKLIST_TERMS = (
 # HyperLogLog precision 14 (~0.81% rsd) with is_approximate provenance.
 EXACT_DISTINCT_THRESHOLD = 10_000
 HLL_RSD = 0.008
+# Opt-in coarse tier (VERDICT r5 #4): HLL at rsd=0.05 is ~9× cheaper
+# than the parity rsd=0.008 on wide tables (r3 measurement) — for
+# callers who want the profile's shape, not reference-precision
+# cardinalities. Provenance: distinct_confidence="coarse_hll".
+HLL_RSD_COARSE = 0.05
 
 # ------------------------------------------------------- profiler knobs
 TOP_K_VALUES = 10              # top/bottom frequency truncation (A16)

@@ -166,6 +166,7 @@ def profile(
     quality: bool = True,
     key_col: str | None = None,
     use_approx_percentiles: bool = False,
+    cardinality: str = "parity",
     patterns: bool = False,
     metrics: list[str] | None = None,
     quality_dimensions: list[str] | None = None,
@@ -183,6 +184,12 @@ def profile(
     ``quality=True`` adds the A19-A25 quality assessment;
     ``patterns=True`` additionally runs the PII/pattern detector
     sample pass (§2.8) and marks the report patterns_scanned.
+
+    ``cardinality`` selects the distinct-count tier: "parity"
+    (default — reference-precision HLL rsd=0.008 + exact follow-up
+    ≤10k), "coarse" (one rsd=0.05 HLL pass, ~9× cheaper, provenance
+    distinct_confidence="coarse_hll"), or "off" (no cardinality
+    aggregates; distinct_count=None). See operators.profiler.profile.
 
     ``metrics`` selects metric packs (reference quality.rs:63-72 /
     Profiler.metrics, python/dataprof/__init__.py:1380-1396):
@@ -277,7 +284,8 @@ def profile(
         t0 = time.perf_counter()
         if "statistics" in packs:
             profiles = _profiler.profile(
-                df, use_approx_percentiles=use_approx_percentiles
+                df, use_approx_percentiles=use_approx_percentiles,
+                cardinality=cardinality,
             )
         else:
             # schema pack only: names/types/null counts, one agg job
@@ -437,6 +445,18 @@ class Profiler:
                 f"Valid packs: {sorted(_VALID_METRIC_PACKS)}"
             )
         self._kwargs["metrics"] = normalized
+        return self
+
+    def cardinality(self, tier: str) -> "Profiler":
+        """Distinct-count tier: "parity" (reference-precision HLL +
+        exact follow-up), "coarse" (rsd=0.05, ~9× cheaper), "off"
+        (no cardinality aggregates, distinct_count=None)."""
+        if tier not in ("parity", "coarse", "off"):
+            raise ValueError(
+                f"cardinality tier must be 'parity', 'coarse' or "
+                f"'off', got {tier!r}"
+            )
+        self._kwargs["cardinality"] = tier
         return self
 
     def on_progress(self, cb: Any) -> "Profiler":

@@ -58,8 +58,16 @@ class ColumnProfile:
     inferred_type: str
     total_count: int
     null_count: int
-    distinct_count: int
+    # None = not computed (schema-pack-only profiles or
+    # cardinality="off") — consumers render 'n/a'/null, never a
+    # numeric sentinel (ADVICE r5)
+    distinct_count: int | None
     distinct_is_approximate: bool
+    # provenance tier (VERDICT r5 #4): "exact" (≤ threshold,
+    # countDistinct), "hll" (parity tier, rsd=0.008 ≈ the reference's
+    # precision-14), "coarse_hll" (opt-in cheap tier, rsd=0.05),
+    # "not_computed" (schema pack / cardinality="off")
+    distinct_confidence: str = "exact"
     stats: dict[str, Any] = field(default_factory=dict)
     top_values: list[tuple[Any, int]] = field(default_factory=list)
     flags: list[str] = field(default_factory=list)
@@ -121,8 +129,9 @@ def profile_schema_only(df: DataFrame) -> list[ColumnProfile]:
             inferred_type=f_.dataType.simpleString(),
             total_count=total,
             null_count=row[f"{f_.name}__nulls"] or 0,
-            distinct_count=-1,  # not computed in the schema pack
+            distinct_count=None,  # not computed in the schema pack
             distinct_is_approximate=False,
+            distinct_confidence="not_computed",
             flags=["schema_pack_only"],
         )
         for f_ in fields
@@ -130,7 +139,8 @@ def profile_schema_only(df: DataFrame) -> list[ColumnProfile]:
 
 
 def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
-            use_approx_percentiles: bool = False) -> list[ColumnProfile]:
+            use_approx_percentiles: bool = False,
+            cardinality: str = "parity") -> list[ColumnProfile]:
     """Profile every column of `df` (3 jobs total, independent of
     column count: wide agg → exact-distinct follow-up → one melt job
     for top-k/mode/temporal distributions).
@@ -139,6 +149,21 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
     approx_percentile — required at 10^10+ rows where the exact
     aggregate buffers every value; the stats dict records which tier
     ran (the reference's exact-vs-approx provenance contract).
+
+    ``cardinality`` selects the distinct-count tier (VERDICT r5 #4 —
+    the parity HLL at rsd=0.008 dominated the sf1 full-profile wall):
+    - "parity" (default, unchanged): HLL rsd=0.008 ≈ the reference's
+      precision-14, exact countDistinct follow-up below the 10k
+      threshold (cardinality.rs contract).
+    - "coarse": one HLL pass at rsd=0.05 (~9× cheaper, r3
+      measurement), NO exact follow-up job. Every column reports
+      distinct_confidence="coarse_hll".
+    - "off": no cardinality aggregates at all; distinct_count=None,
+      distinct_confidence="not_computed". The string top-k and
+      numeric-mode passes are cardinality-GUARDED (a top-k groupBy
+      over an unbounded-cardinality column is a scale hazard), so
+      "off" also skips those two melt families; temporal
+      distributions still run.
 
     Execution notes (r3, measured on a 6M-row table):
     - DECLARATIVE aggregates and TypedImperative ones (HLL
@@ -161,6 +186,14 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
     Quartiles and deciles share ONE percentile buffer per column on
     the approx tier (deciles thereby inherit the 10000 accuracy
     instead of the old separate 1000)."""
+    if cardinality not in ("parity", "coarse", "off"):
+        raise ValueError(
+            f"cardinality must be 'parity', 'coarse' or 'off', "
+            f"got {cardinality!r}"
+        )
+    hll_rsd = (
+        config.HLL_RSD if cardinality == "parity" else config.HLL_RSD_COARSE
+    )
     fields = df.schema.fields
     decl_aggs: list = [F.count(F.lit(1)).alias("__total")]
     imp_aggs: list = []
@@ -172,11 +205,12 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
         else:
             null_pred = c.isNull()
         decl_aggs.append(F.sum(null_pred.cast("long")).alias(f"{n}__nulls"))
-        imp_aggs.append(
-            F.approx_count_distinct(c, rsd=config.HLL_RSD).alias(
-                f"{n}__approx_distinct"
+        if cardinality != "off":
+            imp_aggs.append(
+                F.approx_count_distinct(c, rsd=hll_rsd).alias(
+                    f"{n}__approx_distinct"
+                )
             )
-        )
         if _is_numeric(f_.dataType):
             d = c.cast("double")
             decl_aggs += [
@@ -248,18 +282,22 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
                 F.sum(c.cast("long")).alias(f"{n}__true_count"),
             ]
     row = df.agg(*decl_aggs).collect()[0].asDict()
-    row.update(df.agg(*imp_aggs).collect()[0].asDict())
+    if imp_aggs:
+        row.update(df.agg(*imp_aggs).collect()[0].asDict())
     total = row["__total"]
 
     # follow-up: exact distinct for columns under the threshold
-    # (the reference's exact-tier contract, cardinality.rs:151-183)
+    # (the reference's exact-tier contract, cardinality.rs:151-183) —
+    # parity tier only; the coarse/off tiers exist to skip this cost —
     # plus the centered power sums Σ(x-μ)^k (declarative — keeping
     # them OUT of the imperative agg avoids the mixed-mode penalty;
     # μ needs pass 1, so they could not ride the first scan either)
     exact_cols = [
         f_.name
         for f_ in fields
-        if row[f"{f_.name}__approx_distinct"] <= config.EXACT_DISTINCT_THRESHOLD
+        if cardinality == "parity"
+        and row[f"{f_.name}__approx_distinct"]
+        <= config.EXACT_DISTINCT_THRESHOLD
     ]
     followup_aggs = [
         F.countDistinct(F.col(n)).alias(n) for n in exact_cols
@@ -284,8 +322,14 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
     profiles = []
     for f_ in fields:
         n = f_.name
-        is_approx = n not in exact
-        distinct = exact.get(n, row[f"{n}__approx_distinct"])
+        is_approx = cardinality != "off" and n not in exact
+        distinct = exact.get(n, row.get(f"{n}__approx_distinct"))
+        confidence = (
+            "not_computed" if cardinality == "off"
+            else "coarse_hll" if cardinality == "coarse"
+            else "exact" if n in exact
+            else "hll"
+        )
         stats: dict[str, Any] = {}
         inferred = _infer_type(f_, row, total)
         if _is_numeric(f_.dataType):
@@ -370,6 +414,7 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
         # (uniqueness.rs:170-193)
         if (
             nn_total > 0
+            and distinct is not None
             and distinct / nn_total > config.HIGH_CARDINALITY_RATIO
             and not _is_key_named(n)
         ):
@@ -383,8 +428,9 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
                 inferred_type=inferred,
                 total_count=total,
                 null_count=nulls,
-                distinct_count=int(distinct),
+                distinct_count=None if distinct is None else int(distinct),
                 distinct_is_approximate=is_approx,
+                distinct_confidence=confidence,
                 stats=stats,
                 flags=flags,
             )
@@ -399,15 +445,19 @@ def profile(df: DataFrame, top_k: int = config.TOP_K_VALUES,
     # loop — up to 50 extra scans on a 50-column table (VERDICT r1
     # wrong-#4); now: explode (col, value) pairs → one groupBy → two
     # windows sharing one exchange on `col` → one small collect.
+    # cardinality-GUARDED families: without a distinct estimate
+    # (cardinality="off") a top-k groupBy over an unbounded column is
+    # a scale hazard, so these two sets stay empty in that tier
     str_eligible = {
         p.name for p in profiles
-        if p.spark_type == "string" and p.distinct_count <= 1000
+        if p.spark_type == "string"
+        and p.distinct_count is not None and p.distinct_count <= 1000
     }
     mode_eligible = {
         p.name for p in profiles
         if p.name not in str_eligible
         and p.inferred_type in ("integer", "float")
-        and p.distinct_count <= 100_000
+        and p.distinct_count is not None and p.distinct_count <= 100_000
     }
     temporal_cols = {
         f_.name: isinstance(
@@ -588,6 +638,7 @@ def profiles_to_df(spark, profiles: list[ColumnProfile]) -> DataFrame:
             p.null_count,
             p.distinct_count,
             p.distinct_is_approximate,
+            p.distinct_confidence,
             json.dumps(p.stats, default=str),
             json.dumps(p.top_values, default=str),
             ",".join(p.flags),
@@ -598,7 +649,8 @@ def profiles_to_df(spark, profiles: list[ColumnProfile]) -> DataFrame:
         rows,
         "name string, spark_type string, inferred_type string, "
         "total_count long, null_count long, distinct_count long, "
-        "distinct_is_approximate boolean, stats string, "
+        "distinct_is_approximate boolean, distinct_confidence string, "
+        "stats string, "
         "top_values string, flags string",
     )
 

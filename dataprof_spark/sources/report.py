@@ -268,10 +268,11 @@ class ProfileReport:
         )
         lines.append("|---|---|---|---|---|---|")
         for c in self.columns:
+            d = c.get("distinct_count")
             lines.append(
                 f"| {c['name']} | {c['spark_type']} | "
                 f"{c['inferred_type']} | {c['null_count']} | "
-                f"{c['distinct_count']} | "
+                f"{'n/a' if d is None else d} | "
                 f"{'~' if c['distinct_is_approximate'] else '='} |"
             )
         return "\n".join(lines)
@@ -299,7 +300,7 @@ class ProfileReport:
                 f"<td>{c['total_count']}</td>"
                 f"<td>{null_pct:.1f}%</td>"
                 f"<td>{'~' if c['distinct_is_approximate'] else ''}"
-                f"{c['distinct_count']}</td>"
+                f"{'n/a' if c.get('distinct_count') is None else c['distinct_count']}</td>"
                 f"<td>{e(','.join(c.get('flags') or []))}</td>"
                 "</tr>"
             )
@@ -345,10 +346,11 @@ class ProfileReport:
                 "fields as potentially sensitive."
             )
         for c in self.columns:
+            d = c.get("distinct_count")
             desc = (
                 f"column {_escape(c['name'])}: {c['inferred_type']}, "
-                f"{c['null_count']}/{c['total_count']} null, "
-                f"{c['distinct_count']} distinct"
+                f"{c['null_count']}/{c['total_count']} null"
+                + (f", {d} distinct" if d is not None else "")
             )
             tops = [
                 t for t in c.get("top_values") or []

@@ -25,6 +25,25 @@ STATE_SCHEMA = "start long, last long, n long, total double"
 
 GAP_SECONDS = 1800  # 30 min
 
+_DURATION_UNITS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _duration_seconds(spec: str) -> float:
+    """Parse a Spark CalendarInterval-style duration ('10 minutes',
+    '90 seconds') to seconds, for the late_threshold ≤ gap clamp.
+    Unknown shapes raise — a silent 0 would disable the watermark."""
+    parts = spec.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"unsupported duration spec: {spec!r}")
+    qty, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _DURATION_UNITS:
+        raise ValueError(f"unsupported duration unit: {spec!r}")
+    return float(qty) * _DURATION_UNITS[unit]
+
 
 def _sessionize_group(
     key: tuple,
@@ -116,9 +135,20 @@ def sessionize(
     drains). Events later than the watermark are dropped by Spark;
     within-threshold disorder is handled in the kernel (bounds only
     widen).
+
+    ``late_threshold`` is clamped to ``gap_seconds`` (ADVICE r5): the
+    kernel's bounds-only-widen rule merges ANY within-watermark event
+    into the open session, so a watermark wider than the gap would
+    silently merge sessions that batch semantics split (an event gap
+    seconds older than `last` must start a NEW session, not stretch
+    the old one backwards). With threshold ≤ gap every admitted late
+    event is by definition within one gap of the session bounds.
     """
     import functools
 
+    late_s = _duration_seconds(late_threshold)
+    if late_s > gap_seconds:
+        late_threshold = f"{gap_seconds} seconds"
     return (
         stream.select("user_id", "ts", "value")
         .withWatermark("ts", late_threshold)

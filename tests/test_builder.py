@@ -115,6 +115,22 @@ def test_schema_pack_is_one_action(spark, orders_df):
     assert n_full > 2 * n, (n, n_full)
 
 
+def test_schema_pack_distinct_is_null_not_sentinel(spark, orders_df):
+    """ADVICE r5: the schema pack's uncomputed distinct count must
+    surface as null/None everywhere — not a -1 sentinel leaking into
+    describe()/markdown/Arrow output."""
+    rep = facade.profile(orders_df, metrics=["schema"])
+    assert all(c["distinct_count"] is None for c in rep.columns)
+    desc = rep.describe()
+    uniq = desc.loc["unique"]
+    assert not (uniq.fillna(0) < 0).any()
+    assert "-1" not in rep.to_markdown().replace("-1-", "")
+    assert "n/a" in rep.to_markdown()
+    tbl = rep.to_arrow()
+    col = tbl.column("distinct_count")
+    assert col.null_count == len(rep.columns)
+
+
 def test_unrequested_dimension_aggs_never_run(spark, orders_df):
     """dimensions=["completeness"] must not run the percentile job,
     the outlier-fence job, or the precision melt job — 1 job total.
@@ -306,3 +322,32 @@ def test_quality_dimensions_without_quality_pack_raises(orders_df):
             orders_df, metrics=["schema"],
             quality_dimensions=["completeness"],
         )
+
+
+def test_cardinality_coarse_skips_followup_job(spark, orders_df):
+    """The coarse tier must actually SKIP the exact-distinct
+    follow-up action (that job is the tier's cost), and the builder
+    shorthand must thread the tier through to the profiler."""
+    orders_df.count()
+    n_coarse = _n_jobs(
+        spark,
+        lambda: facade.profile(
+            orders_df, quality=False, cardinality="coarse"
+        ),
+    )
+    n_parity = _n_jobs(
+        spark, lambda: facade.profile(orders_df, quality=False)
+    )
+    assert n_coarse < n_parity, (n_coarse, n_parity)
+
+    rep = (
+        facade.Profiler()
+        .cardinality("coarse")
+        .metrics(["schema", "statistics"])
+        .profile(orders_df)
+    )
+    assert all(
+        c["distinct_confidence"] == "coarse_hll" for c in rep.columns
+    )
+    with pytest.raises(ValueError, match="cardinality tier"):
+        facade.Profiler().cardinality("cheap")

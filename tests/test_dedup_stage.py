@@ -115,3 +115,53 @@ def test_near_dup_stage_demotes_larger_url(spark, rows):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, out.collect())
     )
+
+
+def test_near_dup_cache_lifecycle_is_scoped(spark, rows):
+    """VERDICT r5 #5 / ADVICE r5: the Jaccard verify stage's persisted
+    candidate-pair table must not outlive the call — a long-lived
+    session invoking the demotion repeatedly must not accumulate one
+    cached table per run. The candidate cache (the only MEMORY_AND_DISK
+    persist in the path, whose lineage pins the corpus-join subtree)
+    is unpersisted inside ngram_jaccard_pairs; the only storage the
+    call may leave behind is the localCheckpoint of the small verified
+    result, which the ContextCleaner releases once the DataFrame is
+    garbage-collected."""
+    import gc
+    import time
+
+    sc = spark.sparkContext
+
+    def persisted_count() -> int:
+        return sc._jsc.getPersistentRDDs().size()
+
+    # drain anything earlier tests left for the cleaner
+    gc.collect()
+    deadline = time.time() + 30
+    baseline = persisted_count()
+    while time.time() < deadline:
+        time.sleep(0.5)
+        now = persisted_count()
+        if now == baseline:
+            break
+        baseline = now
+
+    base = fixtures.pages_df(spark, rows)
+    dec = dedup_stage.mark_exact_duplicates(sgates.decide(base))
+    dec = dec.select("url", "scrubbed_text", "keep", "drop_reason")
+
+    for _ in range(2):
+        out = dedup_stage.mark_near_duplicates(dec, threshold=0.6)
+        out.count()
+        # at most ONE extra persisted entry may exist while the result
+        # is alive (its localCheckpoint); the candidate cache must
+        # already be gone
+        assert persisted_count() <= baseline + 1
+        del out
+
+    gc.collect()
+    deadline = time.time() + 30
+    while persisted_count() > baseline and time.time() < deadline:
+        time.sleep(0.5)
+        gc.collect()
+    assert persisted_count() <= baseline

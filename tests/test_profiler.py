@@ -301,3 +301,49 @@ def test_quality_approx_distinct_provenance(spark):
     assert approx.details["uniqueness"]["key_uniqueness"] == pytest.approx(
         exact.details["uniqueness"]["key_uniqueness"], rel=0.03
     )
+
+
+# -------------------------------------------- cardinality tiers (r6)
+def test_cardinality_coarse_tier(spark, li_profiles):
+    """VERDICT r5 #4: the coarse tier runs ONE rsd=0.05 HLL pass — no
+    exact countDistinct follow-up — and every column carries the
+    coarse provenance. Values must still land within HLL error of
+    the parity tier's."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    coarse = {p.name: p for p in profiler.profile(df, cardinality="coarse")}
+    for n, p in coarse.items():
+        assert p.distinct_confidence == "coarse_hll"
+        assert p.distinct_is_approximate
+        want = li_profiles[n].distinct_count
+        # rsd=0.05 → generous 5-sigma bound
+        assert p.distinct_count == pytest.approx(want, rel=0.25), n
+    # everything else identical to parity (same stats machinery)
+    assert coarse["l_extendedprice"].stats["mean"] == pytest.approx(
+        li_profiles["l_extendedprice"].stats["mean"]
+    )
+
+
+def test_cardinality_off_tier(spark):
+    """cardinality='off': no distinct estimates at all, and the
+    cardinality-guarded melt families (string top-k, numeric mode)
+    are skipped — a top-k groupBy over a column with no cardinality
+    bound is a scale hazard. Temporal distributions still run."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    off = {p.name: p for p in profiler.profile(df, cardinality="off")}
+    for n, p in off.items():
+        assert p.distinct_count is None, n
+        assert p.distinct_confidence == "not_computed"
+        assert not p.distinct_is_approximate
+    assert off["l_returnflag"].top_values == []
+    assert "mode" not in off["l_quantity"].stats
+    assert "year_distribution" in off["l_shipdate"].stats or \
+        off["l_shipdate"].stats.get("duration_days") is not None
+    with pytest.raises(ValueError, match="cardinality"):
+        profiler.profile(df, cardinality="cheap")
+
+
+def test_cardinality_parity_provenance(li_profiles):
+    """Parity tier provenance: exact below the 10k threshold."""
+    p = li_profiles["l_quantity"]
+    assert p.distinct_confidence == "exact"
+    assert not p.distinct_is_approximate

@@ -309,3 +309,41 @@ def test_sessionize_kernel_late_event_never_splits():
             )
     # timeout is event-time anchored: last + gap
     assert state.timeout_ms == (last + 1800) * 1000
+
+
+def test_sessionize_late_threshold_clamped_to_gap(spark, tmp_path):
+    """ADVICE r5: with gap_seconds=300 the default 10-minute watermark
+    would admit late events >gap older than `last`, which the
+    bounds-only-widen kernel then merges into a session batch
+    semantics would split. sessionize() must clamp the watermark to
+    the gap; callers asking for a tighter threshold keep theirs."""
+    from dataprof_spark.streaming import sessionize as ss
+
+    src = tmp_path / "sess_clamp_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1.0)],
+        "user_id string, ts string, value double",
+    ).selectExpr(
+        "user_id", "cast(ts as timestamp) ts", "value"
+    ).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        "user_id string, ts timestamp, value double"
+    ).parquet(str(src))
+
+    clamped = ss.sessionize(stream, gap_seconds=300)
+    plan = clamped._jdf.queryExecution().analyzed().toString()
+    # watermark delay renders as -T<ms>ms on the event-time column
+    assert "-T300000ms" in plan and "-T600000ms" not in plan
+
+    kept = ss.sessionize(stream, gap_seconds=300,
+                         late_threshold="2 minutes")
+    plan2 = kept._jdf.queryExecution().analyzed().toString()
+    assert "-T120000ms" in plan2
+
+    # parser sanity
+    assert ss._duration_seconds("10 minutes") == 600.0
+    assert ss._duration_seconds("1 hour") == 3600.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ss._duration_seconds("ten minutes")
