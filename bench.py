@@ -125,6 +125,10 @@ def run_headline() -> dict:
     steal_q["pipeline_decisions"] = pipe_stl
     suite_s1 = _steal_ticks()
     spark.stop()
+    # settle before the post-probe: JVM/py4j teardown threads linger
+    # briefly after stop() and depress the probe's 1-group phase
+    # (observed 7-8 GB/s prints right after stop vs ~78 settled)
+    time.sleep(8)
     probe_post = {} if skip_probe else memory_bandwidth_probe(attempts=1)
     load_post = open("/proc/loadavg").read().split()[:3]
 
