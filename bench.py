@@ -930,7 +930,17 @@ def run_scaling_hunt(out_path: str = "BENCH/scaling_hunt_r5.json") -> dict:
     per pair for attribution ONLY: across 21 r5 production-weight
     pairs the probe did not predict pipeline efficiency (the two best
     pairs carried two of the worst post-probes), so nothing is gated
-    on it."""
+    on it.
+
+    Self-load hold: if BENCH/.hunt_hold exists when a pair is about to
+    start, the hunt waits for it to disappear before starting. This
+    gates ONLY on our own same-VM workload (pytest, local benches),
+    which /proc/stat steal cannot see (r4 lesson: a concurrent pytest
+    run silently polluted paired trials). It never inspects co-tenant
+    conditions or any outcome — it is equivalent to not launching
+    pairs while we are deliberately burning the box ourselves. While a
+    pair is in flight BENCH/.pair_running exists so the session's own
+    heavy jobs can symmetrically wait for the pair to finish."""
     spacing = int(os.environ.get("BENCH_HUNT_SPACING_S", "480"))
     max_pairs = int(os.environ.get("BENCH_HUNT_PAIRS", "12"))
     deadline_min = float(os.environ.get("BENCH_HUNT_DEADLINE_MIN", "300"))
@@ -946,12 +956,26 @@ def run_scaling_hunt(out_path: str = "BENCH/scaling_hunt_r5.json") -> dict:
     os.environ["DATAPROF_LANGID_CACHE"] = "0"
     try:
         one_pair = _executor_machinery()
+        hold_path = os.path.join(os.path.dirname(out_path) or ".", ".hunt_hold")
+        pair_marker = os.path.join(
+            os.path.dirname(out_path) or ".", ".pair_running"
+        )
         t_end = time.time() + deadline_min * 60
         while len(state["pairs"]) < max_pairs and time.time() < t_end:
+            while os.path.exists(hold_path) and time.time() < t_end:
+                time.sleep(15.0)
+            if time.time() >= t_end:
+                break
+            with open(pair_marker, "w") as f:
+                f.write(str(time.time()))
             probe_pre = memory_bandwidth_probe(attempts=1)
             i = len(state["pairs"])
             w1, w4, r1, r4, s1, s4 = one_pair(i % 2 == 1)
             probe_post = memory_bandwidth_probe(attempts=1)
+            try:
+                os.remove(pair_marker)
+            except OSError:
+                pass
             state["pairs"].append({
                 "wall_1": round(w1, 3),
                 "wall_4": round(w4, 3),
@@ -983,6 +1007,12 @@ def run_scaling_hunt(out_path: str = "BENCH/scaling_hunt_r5.json") -> dict:
             os.environ.pop("DATAPROF_LANGID_CACHE", None)
         else:
             os.environ["DATAPROF_LANGID_CACHE"] = prior_cache
+        try:
+            os.remove(
+                os.path.join(os.path.dirname(out_path) or ".", ".pair_running")
+            )
+        except OSError:
+            pass
     return state
 
 

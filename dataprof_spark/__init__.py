@@ -72,7 +72,13 @@ def capabilities():
         database_connectors: tuple
         iceberg_runtime: bool
         multimodal_codecs: bool
+        langid_backend: str
+        perplexity_backend: str
+        fasttext_installed: bool
+        kenlm_installed: bool
 
+    _ft = _os.environ.get("DATAPROF_FASTTEXT_MODEL")
+    _klm = _os.environ.get("DATAPROF_KENLM_MODEL")
     return Capabilities(
         version=__version__,
         local_csv=True,
@@ -92,6 +98,12 @@ def capabilities():
         database_connectors=connectors,
         iceberg_runtime=iceberg,
         multimodal_codecs=_installed("PIL"),  # codecs stub without it
+        # production-model swap point (core/models.py): the *_backend
+        # fields report what a run would actually use right now
+        langid_backend="fasttext" if _ft else "standin",
+        perplexity_backend="kenlm" if _klm else "standin",
+        fasttext_installed=_installed("fasttext"),
+        kenlm_installed=_installed("kenlm"),
     )
 
 

@@ -20,8 +20,7 @@ import datetime as _dt
 from typing import Any
 
 from dataprof_spark import config
-from dataprof_spark.core import langid as _langid
-from dataprof_spark.core import perplexity as _ppl
+from dataprof_spark.core import models as _models
 from dataprof_spark.core import scrub as _scrub
 from dataprof_spark.core import textsignals as _ts
 
@@ -71,10 +70,10 @@ def full_reason(text: str, claimed_lang: str,
     if reason is not None:
         return reason
     if predicted is None:
-        predicted, _ = _langid.predict(text)
+        predicted, _ = _models.predict(text)
     if predicted != claimed_lang:
         return "lang_mismatch"
-    if _ppl.perplexity(text) > config.MAX_PERPLEXITY:
+    if _models.perplexity(text) > config.MAX_PERPLEXITY:
         return "high_perplexity"
     return None
 
@@ -108,7 +107,7 @@ def quality_score(
         "validity": (
             1.0
             if (predicted if predicted is not None
-                else _langid.predict(text)[0]) == claimed_lang
+                else _models.predict(text)[0]) == claimed_lang
             else 0.0
         ),
     }
@@ -138,7 +137,7 @@ def decide(
     Spark pipeline already shares them the same way)."""
     text = text or ""
     s = _ts.signals(text)
-    predicted, _ = _langid.predict(text)
+    predicted, _ = _models.predict(text)
     reason = full_reason(text, claimed_lang, signals=s, predicted=predicted)
     scrubbed, counts = _scrub.scrub_text(text)
     return {

@@ -57,17 +57,17 @@ def heuristic_reason_col(
 # ------------------------------------------------- vectorized pandas UDFs
 @pandas_udf(T.StringType())
 def langid_udf(texts: pd.Series) -> pd.Series:
-    from dataprof_spark.core import langid
+    from dataprof_spark.core import models
 
-    preds = langid.predict_batch(texts.tolist())
+    preds = models.predict_batch(texts.tolist())
     return pd.Series([p[0] for p in preds], dtype=object)
 
 
 @pandas_udf(T.DoubleType())
 def perplexity_udf(texts: pd.Series) -> pd.Series:
-    from dataprof_spark.core import perplexity
+    from dataprof_spark.core import models
 
-    return pd.Series(perplexity.perplexity_batch(texts.tolist()))
+    return pd.Series(models.perplexity_batch(texts.tolist()))
 
 
 _SCRUB_SCHEMA = T.StructType(
@@ -126,12 +126,17 @@ def enrich_udf(texts: pd.Series) -> pd.DataFrame:
     core batch kernels back the single-node labeler's scalar calls
     (scalars delegate to batch-of-1, and reduceat segment sums are
     bit-identical in any batch layout), so Spark output vs labeler
-    output stays byte-identical by construction."""
-    from dataprof_spark.core import langid, perplexity, scrub
+    output stays byte-identical by construction. langid/perplexity
+    dispatch through core.models — the production swap point: real
+    fastText/KenLM when DATAPROF_FASTTEXT_MODEL/DATAPROF_KENLM_MODEL
+    are configured, the deterministic stand-ins otherwise; the
+    labeler (core/gates.py) dispatches through the same module, so
+    parity holds for ANY backend."""
+    from dataprof_spark.core import models, scrub
 
     vals = texts.tolist()
-    preds = langid.predict_batch(vals)
-    ppl = perplexity.perplexity_batch(vals)
+    preds = models.predict_batch(vals)
+    ppl = models.perplexity_batch(vals)
     scrubbed, counts = scrub.scrub_batch(texts)
     return pd.DataFrame(
         {
