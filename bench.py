@@ -57,6 +57,42 @@ def _steal_pct(t0: tuple[int, int], t1: tuple[int, int]) -> float:
     return round(100.0 * (t1[0] - t0[0]) / max(1, t1[1] - t0[1]), 2)
 
 
+def _headline_mutex_enter() -> str | None:
+    """Mutual exclusion with a concurrently-running --scaling-hunt:
+    set the hunt's hold file so no NEW pair starts during the timed
+    suite, then wait (bounded, 12 min) for any in-flight pair to
+    finish. Without this, the driver's per-round headline print and a
+    session-spanning hunt pair can land on top of each other — same-VM
+    contention the steal filter cannot see (the exact failure mode
+    behind BENCH_r05's phantom 14% regression). Returns the hold path
+    if WE created it (caller must remove it), None otherwise."""
+    bdir = "BENCH"
+    if not os.path.isdir(bdir):
+        return None
+    hold = os.path.join(bdir, ".hunt_hold")
+    created = None
+    if not os.path.exists(hold):
+        try:
+            with open(hold, "w") as f:
+                f.write(f"headline pid={os.getpid()} at={time.time()}")
+            created = hold
+        except OSError:
+            return None
+    marker = os.path.join(bdir, ".pair_running")
+    t_stop = time.time() + 720
+    while os.path.exists(marker) and time.time() < t_stop:
+        time.sleep(10.0)
+    return created
+
+
+def _headline_mutex_exit(created: str | None) -> None:
+    if created:
+        try:
+            os.remove(created)
+        except OSError:
+            pass
+
+
 def run_headline() -> dict:
     """Median-of-N timing per query (N = $BENCH_TRIALS, default 5),
     after a per-query warm-up execution. Single-shot timings on a
@@ -64,7 +100,16 @@ def run_headline() -> dict:
     0.851 s vs r2's 0.531 with no code change on that path); the
     median-of-trials discipline the scaling protocol already uses is
     applied here too, and the per-query [min, max] spread is disclosed
-    so any residual host noise is visible in the artifact."""
+    so any residual host noise is visible in the artifact. Mutually
+    exclusive with --scaling-hunt via the hold/marker files."""
+    _mutex = _headline_mutex_enter()
+    try:
+        return _run_headline_inner()
+    finally:
+        _headline_mutex_exit(_mutex)
+
+
+def _run_headline_inner() -> dict:
     import statistics
 
     from dataprof_spark import queries as q
@@ -961,8 +1006,16 @@ def run_scaling_hunt(out_path: str = "BENCH/scaling_hunt_r5.json") -> dict:
             os.path.dirname(out_path) or ".", ".pair_running"
         )
         t_end = time.time() + deadline_min * 60
+        def _held() -> bool:
+            # a hold older than an hour is a crashed holder, not a
+            # deliberate gate — ignore it rather than stall the hunt
+            try:
+                return time.time() - os.path.getmtime(hold_path) < 3600
+            except OSError:
+                return False
+
         while len(state["pairs"]) < max_pairs and time.time() < t_end:
-            while os.path.exists(hold_path) and time.time() < t_end:
+            while _held() and time.time() < t_end:
                 time.sleep(15.0)
             if time.time() >= t_end:
                 break
