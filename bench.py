@@ -1276,6 +1276,46 @@ def run_dedup_scale() -> dict:
     return out
 
 
+def run_scaling_strike(out_path: str = "BENCH/scaling_strike_r6.json") -> dict:
+    """Clean-window strike: ONE full production-weight executor
+    protocol (the same pre-declared median-of-pairs estimator as
+    --scaling's headline configuration), appended to a cumulative
+    artifact. Fired when the spread hunt's pair stream signals a
+    clean window (trigger rule, declared in BENCH/BASELINE.md: latest
+    hunt pair eff ≥ 0.75 with <1% steal in both windows); EVERY
+    strike is appended and reported regardless of outcome, so the
+    artifact shows all attempts, not a best pick. Does not rewrite
+    BASELINE.md (unlike --scaling). Mutually exclusive with an
+    in-flight hunt pair via the hold/marker files."""
+    out_path = os.environ.get("BENCH_STRIKE_OUT", out_path)
+    n_trials = int(os.environ.get("BENCH_SCALING_TRIALS", "5"))
+    mutex = _headline_mutex_enter()
+    prior_cache = os.environ.get("DATAPROF_LANGID_CACHE")
+    os.environ["DATAPROF_LANGID_CACHE"] = "0"
+    try:
+        res = run_executor_scaling()
+    finally:
+        if prior_cache is None:
+            os.environ.pop("DATAPROF_LANGID_CACHE", None)
+        else:
+            os.environ["DATAPROF_LANGID_CACHE"] = prior_cache
+        _headline_mutex_exit(mutex)
+    res["profile"] = "production-weight (langid memo cache off)"
+    res["n_trials"] = n_trials
+    res["at_unix"] = round(time.time(), 1)
+    state = {"strikes": []}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            state = json.load(f)
+    state["strikes"].append(res)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(tmp, out_path)
+    return res
+
+
 def F_col(name):
     from pyspark.sql import functions as F
 
@@ -1291,6 +1331,8 @@ if __name__ == "__main__":
         print(json.dumps(run_sf1()))
     elif "--scaling-hunt" in sys.argv:
         print(json.dumps(run_scaling_hunt()))
+    elif "--scaling-strike" in sys.argv:
+        print(json.dumps(run_scaling_strike()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--pipeline-once" in sys.argv:
