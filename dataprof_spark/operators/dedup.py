@@ -292,7 +292,12 @@ def ngram_jaccard_pairs(
         # expensive corpus-join subtree. Eager by design: every
         # in-repo consumer materializes this result anyway.
         out = out.localCheckpoint(eager=True)
-        pairs.unpersist()
+        # blocking: the default async unpersist leaves the candidate
+        # cache visible in getPersistentRDDs for an unbounded moment
+        # after return — a caller (or test) inspecting storage right
+        # away sees a phantom leak. The table is small; the wait is
+        # one executor round-trip.
+        pairs.unpersist(blocking=True)
     return out
 
 
