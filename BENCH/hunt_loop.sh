@@ -6,10 +6,11 @@
 #     artifact holds $BUDGET pairs (budget fixed up front; the loop
 #     runs to budget REGARDLESS of intermediate results — no
 #     outcome-gated stopping);
-#   - after each pair, the trigger rule (latest pair eff >= 0.75 AND
-#     steal < 1% in both its windows) may fire ONE full 5-pair strike
-#     (--scaling-strike), appended to BENCH/scaling_strike_r6.json
-#     regardless of outcome.
+#   - after each pair, the trigger rule (v2, declared at pair 14:
+#     latest pair eff >= 0.75 AND steal < 2.0% in both its windows —
+#     harmonized with the protocol's own pre-declared steal cut) may
+#     fire ONE full 5-pair strike (--scaling-strike), appended to
+#     BENCH/scaling_strike_r6.json regardless of outcome.
 # The hunt honors BENCH/.hunt_hold (self-load gate) internally.
 set -u
 cd /root/repo
@@ -24,7 +25,7 @@ while true; do
   trig=$(python - <<'PY'
 import json
 p = json.load(open('BENCH/scaling_hunt_r6.json'))['pairs'][-1]
-print(1 if (p['eff'] >= 0.75 and p['steal_pct_1'] < 1.0 and p['steal_pct_4'] < 1.0) else 0)
+print(1 if (p['eff'] >= 0.75 and p['steal_pct_1'] < 2.0 and p['steal_pct_4'] < 2.0) else 0)
 PY
 )
   if [ "$trig" = "1" ]; then
