@@ -71,13 +71,18 @@ def _headline_mutex_enter() -> str | None:
         return None
     hold = os.path.join(bdir, ".hunt_hold")
     created = None
-    if not os.path.exists(hold):
-        try:
-            with open(hold, "w") as f:
-                f.write(f"headline pid={os.getpid()} at={time.time()}")
-            created = hold
-        except OSError:
-            return None
+    try:
+        # O_EXCL create: a check-then-open('w') pair raced — two
+        # concurrent headline/strike processes could both pass the
+        # not-exists check, and the second's exit deleted the first's
+        # still-needed hold (ADVICE r6).
+        with open(hold, "x") as f:
+            f.write(f"headline pid={os.getpid()} at={time.time()}")
+        created = hold
+    except FileExistsError:
+        pass  # someone else holds it; we must not remove it on exit
+    except OSError:
+        return None
     marker = os.path.join(bdir, ".pair_running")
     t_stop = time.time() + 720
     while os.path.exists(marker) and time.time() < t_stop:
@@ -929,16 +934,30 @@ def _hunt_summary(pairs: list) -> dict:
         if p["steal_pct_1"] < STEAL_CUT and p["steal_pct_4"] < STEAL_CUT
     ]
     chosen = clean if len(clean) >= 3 else pairs
+
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    # Headline value = the declared estimator, literally: median of the
+    # per-pair efficiencies. r6's artifact printed the median-RANKED
+    # pair's throughput ratio instead, which diverges for even pair
+    # counts / varying per-pair run counts (printed 0.631 where the
+    # declared estimator gave 0.618 — VERDICT r6 note 2).
+    med_eff = _median([p["eff"] for p in chosen])
     ranked = sorted(chosen, key=lambda p: p["eff"])
     med = ranked[len(ranked) // 2]
-    ranked_all = sorted(pairs, key=lambda p: p["eff"])
-    med_all = ranked_all[len(ranked_all) // 2]
     thr_1 = med["docs_runs_1"] / med["wall_1"]
     thr_4 = med["docs_runs_4"] / med["wall_4"]
     return {
         "metric": "scaling_efficiency",
-        "value": round((thr_4 / thr_1) / 4, 3),
+        "value": round(med_eff, 3),
         "unit": "ratio",
+        "eff_ratio_of_median_walls": round(
+            _median([p["wall_1"] for p in chosen])
+            / _median([p["wall_4"] for p in chosen]), 3
+        ),
         "profile": "production-weight (langid memo cache off)",
         "estimator": (
             f"median of {len(chosen)}/{len(pairs)} paired trials "
@@ -946,7 +965,9 @@ def _hunt_summary(pairs: list) -> dict:
             "window excluded when ≥3 clean pairs remain); pairs "
             "spread across the session, persisted on completion"
         ),
-        "eff_unfiltered_median": round(med_all["eff"], 3),
+        "eff_unfiltered_median": round(
+            _median([p["eff"] for p in pairs]), 3
+        ),
         "n_clean_pairs": len(clean),
         "wall_1x_local8_sec": round(med["wall_1"], 3),
         "wall_4x_local8_sec": round(med["wall_4"], 3),

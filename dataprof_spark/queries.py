@@ -393,7 +393,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.col("p_type").startswith("PROMO")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             R6(
                 F.sum(
@@ -435,7 +435,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= "1997-01-01")
             & (F.col("o_orderdate") < "1997-04-01")
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(DSUM(rev).alias("revenue"))
@@ -462,7 +462,9 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with orders above a quantity
     threshold — groupBy-HAVING on the fact, then joins back. The
-    having-filtered key set is small → broadcast back against orders."""
+    having-filtered key set is SF-linear, so no forced broadcast: AQE
+    sizes it at runtime (broadcast at small SF, SMJ at scale) —
+    PLANS.md r3 rule, a forced hint is a driver OOM at 100×."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -474,8 +476,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty_micro") > 150 * _SCALE)
     )
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey",
             F.col("o_orderdate").cast("date").cast("string")
@@ -520,11 +522,11 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = (
         li.select("l_partkey", "l_suppkey").distinct()
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
     )
     return (
         rel.groupBy("p_brand", "p_type")
@@ -567,8 +569,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price", F.min("unit_price").over(w)
     ).filter(F.col("unit_price") == F.col("min_price"))
     return (
-        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey", "p_brand", "s_name",
             R6(F.col("unit_price")).alias("unit_price"),
@@ -686,7 +688,7 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         culprits.join(
-            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+            s, F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -716,13 +718,14 @@ ORDER BY numwait DESC, s_suppkey LIMIT 50
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems below 20% of their
     part's average quantity — a correlated scalar subquery Spark
-    decorrelates into an aggregate + join (per-part avg is tiny →
-    broadcast back against the fact)."""
+    decorrelates into an aggregate + join. The per-part avg set is
+    small-per-brand but SF-linear, so AQE sizes the join-back at
+    runtime instead of a forced broadcast hint."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     brand_parts = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     fact = li.join(
-        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
     )
     # exact micro-unit avg for the correlated threshold: a last-ulp
     # difference between engines would flip row membership at the cut
@@ -733,7 +736,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_cut")
     )
     return (
-        fact.join(F.broadcast(avg_qty), "l_partkey")
+        fact.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             R6(
@@ -771,7 +774,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity bounds to the scan)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
@@ -865,7 +868,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mx", F.max("total_revenue").over(W.partitionBy())
     ).filter(F.col("total_revenue") == F.col("mx"))
     return (
-        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
