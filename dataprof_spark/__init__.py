@@ -77,8 +77,7 @@ def capabilities():
         fasttext_installed: bool
         kenlm_installed: bool
 
-    _ft = _os.environ.get("DATAPROF_FASTTEXT_MODEL")
-    _klm = _os.environ.get("DATAPROF_KENLM_MODEL")
+    from dataprof_spark.core import models as _models
     return Capabilities(
         version=__version__,
         local_csv=True,
@@ -98,10 +97,12 @@ def capabilities():
         database_connectors=connectors,
         iceberg_runtime=iceberg,
         multimodal_codecs=_installed("PIL"),  # codecs stub without it
-        # production-model swap point (core/models.py): the *_backend
-        # fields report what a run would actually use right now
-        langid_backend="fasttext" if _ft else "standin",
-        perplexity_backend="kenlm" if _klm else "standin",
+        # production-model swap point: delegated to core/models.py so
+        # the "what a run would actually use" logic lives once — a
+        # configured-but-unloadable model reports 'misconfigured'
+        # (such a run raises; naming the backend would be a lie)
+        langid_backend=_models.langid_status(),
+        perplexity_backend=_models.perplexity_status(),
         fasttext_installed=_installed("fasttext"),
         kenlm_installed=_installed("kenlm"),
     )

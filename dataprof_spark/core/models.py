@@ -28,6 +28,7 @@ the day the environment provides the dependency.
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import threading
 from typing import Sequence
@@ -41,6 +42,25 @@ _lock = threading.Lock()
 _cache: dict[str, object] = {}
 
 
+def resolved_config() -> dict:
+    """Model configuration read from THIS process's environment.
+
+    Resolve on the Spark DRIVER at plan time and ship the dict inside
+    the UDF closure (operators/gates.py does this). Reading os.environ
+    inside an executor-side pandas UDF is wrong on any non-local
+    master: the driver's env vars don't reach Python workers, so a
+    configured fastText/KenLM run would silently label with the
+    stand-in on executors while the single-node labeler used the real
+    model — exactly the divergence the fail-loud contract forbids
+    (ADVICE r6). With the closure-shipped config, a configured-but-
+    uninstallable executor raises instead of degrading.
+    """
+    return {
+        "fasttext_path": os.environ.get(_FASTTEXT_ENV) or None,
+        "kenlm_path": os.environ.get(_KENLM_ENV) or None,
+    }
+
+
 def langid_backend() -> str:
     """'fasttext' when DATAPROF_FASTTEXT_MODEL is set, else 'standin'."""
     return "fasttext" if os.environ.get(_FASTTEXT_ENV) else "standin"
@@ -49,6 +69,31 @@ def langid_backend() -> str:
 def perplexity_backend() -> str:
     """'kenlm' when DATAPROF_KENLM_MODEL is set, else 'standin'."""
     return "kenlm" if os.environ.get(_KENLM_ENV) else "standin"
+
+
+def _backend_status(env: str, package: str, configured: str) -> str:
+    """What a run would ACTUALLY use right now: the configured backend
+    name when it is servable, 'standin' when unconfigured, and
+    'misconfigured' when the env var names a model this host cannot
+    load (package or file missing) — a state in which a run raises
+    rather than using either engine, so reporting the backend name
+    would be a lie (ADVICE r6)."""
+    path = os.environ.get(env)
+    if not path:
+        return "standin"
+    if importlib.util.find_spec(package) is None or not os.path.exists(path):
+        return "misconfigured"
+    return configured
+
+
+def langid_status() -> str:
+    """'fasttext' | 'standin' | 'misconfigured' (see _backend_status)."""
+    return _backend_status(_FASTTEXT_ENV, "fasttext", "fasttext")
+
+
+def perplexity_status() -> str:
+    """'kenlm' | 'standin' | 'misconfigured' (see _backend_status)."""
+    return _backend_status(_KENLM_ENV, "kenlm", "kenlm")
 
 
 def _load_fasttext(path: str):
@@ -93,14 +138,23 @@ def _load_kenlm(path: str):
         return _cache[key]
 
 
-def predict_batch(texts: Sequence[str | None]) -> list[tuple[str, float]]:
+def predict_batch(
+    texts: Sequence[str | None], config: dict | None = None
+) -> list[tuple[str, float]]:
     """[(language, score), ...] — fastText when configured, else the
     deterministic stand-in. fastText requires newline-free input, so
     newlines are flattened to spaces (fastText's own preprocessing
     convention); '__label__xx' prefixes are stripped; a document with
     no prediction (empty text) maps to ('und', 0.0), matching the
-    stand-in's contract."""
-    path = os.environ.get(_FASTTEXT_ENV)
+    stand-in's contract.
+
+    `config`: a resolved_config() dict captured on the driver; when
+    None (single-node labeler path, same process) the environment is
+    read directly."""
+    if config is not None:
+        path = config.get("fasttext_path")
+    else:
+        path = os.environ.get(_FASTTEXT_ENV)
     if not path:
         from dataprof_spark.core import langid
 
@@ -123,10 +177,16 @@ def predict(text: str | None) -> tuple[str, float]:
     return predict_batch([text])[0]
 
 
-def perplexity_batch(texts: Sequence[str | None]) -> np.ndarray:
+def perplexity_batch(
+    texts: Sequence[str | None], config: dict | None = None
+) -> np.ndarray:
     """Per-document perplexity — KenLM when configured, else the
-    deterministic stand-in. None/empty → 0.0 (stand-in contract)."""
-    path = os.environ.get(_KENLM_ENV)
+    deterministic stand-in. None/empty → 0.0 (stand-in contract).
+    `config` as in predict_batch."""
+    if config is not None:
+        path = config.get("kenlm_path")
+    else:
+        path = os.environ.get(_KENLM_ENV)
     if not path:
         from dataprof_spark.core import perplexity
 

@@ -55,19 +55,45 @@ def heuristic_reason_col(
 
 
 # ------------------------------------------------- vectorized pandas UDFs
-@pandas_udf(T.StringType())
-def langid_udf(texts: pd.Series) -> pd.Series:
-    from dataprof_spark.core import models
+#
+# Model-dispatching UDFs are FACTORIES: the fastText/KenLM config is
+# resolved from the environment on the DRIVER at plan time and shipped
+# to executors inside the UDF closure. An executor-side os.environ read
+# would silently use the stand-in on any non-local master (driver env
+# vars don't reach Python workers) while the single-node labeler used
+# the configured model — the exact divergence the fail-loud contract
+# forbids (ADVICE r6).
 
-    preds = models.predict_batch(texts.tolist())
-    return pd.Series([p[0] for p in preds], dtype=object)
+
+def make_langid_udf(model_config: dict | None = None):
+    """Language-ID pandas UDF with driver-resolved model config."""
+    from dataprof_spark.core import models as _models
+
+    cfg = _models.resolved_config() if model_config is None else model_config
+
+    @pandas_udf(T.StringType())
+    def langid_udf(texts: pd.Series) -> pd.Series:
+        from dataprof_spark.core import models
+
+        preds = models.predict_batch(texts.tolist(), config=cfg)
+        return pd.Series([p[0] for p in preds], dtype=object)
+
+    return langid_udf
 
 
-@pandas_udf(T.DoubleType())
-def perplexity_udf(texts: pd.Series) -> pd.Series:
-    from dataprof_spark.core import models
+def make_perplexity_udf(model_config: dict | None = None):
+    """Perplexity pandas UDF with driver-resolved model config."""
+    from dataprof_spark.core import models as _models
 
-    return pd.Series(models.perplexity_batch(texts.tolist()))
+    cfg = _models.resolved_config() if model_config is None else model_config
+
+    @pandas_udf(T.DoubleType())
+    def perplexity_udf(texts: pd.Series) -> pd.Series:
+        from dataprof_spark.core import models
+
+        return pd.Series(models.perplexity_batch(texts.tolist(), config=cfg))
+
+    return perplexity_udf
 
 
 _SCRUB_SCHEMA = T.StructType(
@@ -113,8 +139,23 @@ _ENRICH_SCHEMA = T.StructType(
 )
 
 
-@pandas_udf(_ENRICH_SCHEMA)
-def enrich_udf(texts: pd.Series) -> pd.DataFrame:
+def make_enrich_udf(model_config: dict | None = None):
+    """Factory for the fused enrich UDF; model config resolved on the
+    driver at plan time (see the factory comment above) and captured
+    in the closure, so executors use exactly what the driver planned
+    — or raise, never silently degrade."""
+    from dataprof_spark.core import models as _models
+
+    cfg = _models.resolved_config() if model_config is None else model_config
+
+    @pandas_udf(_ENRICH_SCHEMA)
+    def enrich_udf(texts: pd.Series) -> pd.DataFrame:
+        return _enrich_batch(texts, cfg)
+
+    return enrich_udf
+
+
+def _enrich_batch(texts: pd.Series, cfg: dict | None) -> pd.DataFrame:
     """ALL Python per-document work fused into ONE Arrow pass: langid
     + perplexity + byte-exact scrub. Three separate pandas UDFs would
     each become their own ArrowEvalPython node — 3× Arrow transfer of
@@ -135,8 +176,8 @@ def enrich_udf(texts: pd.Series) -> pd.DataFrame:
     from dataprof_spark.core import models, scrub
 
     vals = texts.tolist()
-    preds = models.predict_batch(vals)
-    ppl = models.perplexity_batch(vals)
+    preds = models.predict_batch(vals, config=cfg)
+    ppl = models.perplexity_batch(vals, config=cfg)
     scrubbed, counts = scrub.scrub_batch(texts)
     return pd.DataFrame(
         {
@@ -171,10 +212,13 @@ def decide(
     Arrow-batched projections; everything else is codegen'd.
     """
     c = F.col(text_col)
+    # Model config resolved HERE (driver, plan time) and shipped in the
+    # UDF closure — see the factory comment above make_langid_udf.
+    enrich = make_enrich_udf()
     sig = df.withColumns(
         {
             "heur_reason": heuristic_reason_col(text_col, lang_col),
-            "_py": enrich_udf(c),  # ONE fused Arrow/Python pass
+            "_py": enrich(c),  # ONE fused Arrow/Python pass
         }
     )
     reason = (
@@ -232,7 +276,7 @@ def quality_score_col(
     c = F.col(text_col)
     w = config.QUALITY_WEIGHTS
     if pred_lang is None:
-        pred_lang = langid_udf(c)
+        pred_lang = make_langid_udf()(c)
     completeness = F.least(
         F.lit(1.0), exprs.word_count(c) / F.lit(float(config.MIN_WORDS))
     )

@@ -32,17 +32,25 @@ _DURATION_UNITS = {
 
 
 def _duration_seconds(spec: str) -> float:
-    """Parse a Spark CalendarInterval-style duration ('10 minutes',
-    '90 seconds') to seconds, for the late_threshold ≤ gap clamp.
+    """Parse a Spark CalendarInterval-style duration to seconds, for
+    the late_threshold ≤ gap clamp. Compound specs sum their parts
+    ('1 hour 30 minutes' → 5400), matching Spark's own interval
+    grammar so every string withWatermark accepts keeps working
+    (ADVICE r6: the single-pair parser regressed compound callers).
     Unknown shapes raise — a silent 0 would disable the watermark."""
-    parts = spec.strip().lower().split()
-    if len(parts) != 2:
+    parts = spec.strip().lower().replace("interval", "").split()
+    if not parts or len(parts) % 2:
         raise ValueError(f"unsupported duration spec: {spec!r}")
-    qty, unit = parts
-    unit = unit.rstrip("s")
-    if unit not in _DURATION_UNITS:
-        raise ValueError(f"unsupported duration unit: {spec!r}")
-    return float(qty) * _DURATION_UNITS[unit]
+    total = 0.0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _DURATION_UNITS:
+            raise ValueError(f"unsupported duration unit: {spec!r}")
+        try:
+            total += float(qty) * _DURATION_UNITS[unit]
+        except ValueError:
+            raise ValueError(f"unsupported duration spec: {spec!r}")
+    return total
 
 
 def _sessionize_group(

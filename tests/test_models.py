@@ -164,3 +164,81 @@ def test_real_kenlm_roundtrip(monkeypatch, tmp_path):
     oov = models.perplexity_batch(["zzz qqq xxx"])[0]
     assert out[0] < oov
     assert models.perplexity("hello world") == pytest.approx(out[0])
+
+
+# ------------------------------------------------------------------
+# Closure-shipped model config (ADVICE r6): the Spark UDFs must carry
+# the DRIVER-resolved config in their closure, never re-read
+# os.environ on the executor — on a non-local master the driver's env
+# vars don't reach Python workers, so an env read there silently
+# degrades to the stand-in while the single-node labeler uses the
+# real model.
+# ------------------------------------------------------------------
+def test_resolved_config_reads_driver_env(monkeypatch):
+    monkeypatch.setenv("DATAPROF_FASTTEXT_MODEL", "/d/ft.bin")
+    monkeypatch.setenv("DATAPROF_KENLM_MODEL", "/d/lm.arpa")
+    assert models.resolved_config() == {
+        "fasttext_path": "/d/ft.bin",
+        "kenlm_path": "/d/lm.arpa",
+    }
+    monkeypatch.delenv("DATAPROF_FASTTEXT_MODEL")
+    monkeypatch.delenv("DATAPROF_KENLM_MODEL")
+    assert models.resolved_config() == {
+        "fasttext_path": None,
+        "kenlm_path": None,
+    }
+
+
+def test_udf_closure_ships_config_not_env(monkeypatch, spark):
+    """Build the fused UDF while a (bogus) model is configured, then
+    DROP the env var before executing. If the UDF re-read the
+    executor environment it would silently fall back to the stand-in
+    and succeed; the closure-shipped config must instead fail loud
+    with the unloadable configured path."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from dataprof_spark.operators import gates
+
+    monkeypatch.setenv("DATAPROF_FASTTEXT_MODEL", "/nonexistent/ft.bin")
+    enrich = gates.make_enrich_udf()  # plan time: config captured
+    monkeypatch.delenv("DATAPROF_FASTTEXT_MODEL")  # env gone at exec
+    df = spark.createDataFrame([("hello world",)], ["text"])
+    with pytest.raises(PythonException, match="fasttext"):
+        df.select(enrich("text").alias("e")).collect()
+
+
+def test_udf_closure_standin_when_unconfigured(monkeypatch, spark):
+    """Unconfigured driver -> stand-in labels, identical to the
+    single-node kernels, regardless of executor-side env churn."""
+    monkeypatch.delenv("DATAPROF_FASTTEXT_MODEL", raising=False)
+    monkeypatch.delenv("DATAPROF_KENLM_MODEL", raising=False)
+    from dataprof_spark.operators import gates
+
+    enrich = gates.make_enrich_udf()
+    df = spark.createDataFrame([(t,) for t in TEXTS if t], ["text"])
+    rows = df.select("text", enrich("text").alias("e")).collect()
+    for r in rows:
+        lang, score = langid.predict(r["text"])
+        assert r["e"]["pred_lang"] == lang
+        assert r["e"]["ppl"] == pytest.approx(
+            float(perplexity.perplexity_batch([r["text"]])[0])
+        )
+
+
+def test_misconfigured_backend_reported(monkeypatch, tmp_path):
+    """capabilities() must not claim 'fasttext'/'kenlm' when the env
+    var names a model this host cannot load — such a run raises, so
+    the honest report is 'misconfigured' (ADVICE r6)."""
+    import dataprof_spark
+
+    monkeypatch.setenv("DATAPROF_FASTTEXT_MODEL", str(tmp_path / "no.bin"))
+    monkeypatch.setenv("DATAPROF_KENLM_MODEL", str(tmp_path / "no.arpa"))
+    assert models.langid_status() == "misconfigured"
+    assert models.perplexity_status() == "misconfigured"
+    caps = dataprof_spark.capabilities()
+    assert caps.langid_backend == "misconfigured"
+    assert caps.perplexity_backend == "misconfigured"
+    monkeypatch.delenv("DATAPROF_FASTTEXT_MODEL")
+    monkeypatch.delenv("DATAPROF_KENLM_MODEL")
+    assert models.langid_status() == "standin"
+    assert models.perplexity_status() == "standin"

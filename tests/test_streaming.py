@@ -344,6 +344,12 @@ def test_sessionize_late_threshold_clamped_to_gap(spark, tmp_path):
     # parser sanity
     assert ss._duration_seconds("10 minutes") == 600.0
     assert ss._duration_seconds("1 hour") == 3600.0
+    # compound CalendarInterval specs — Spark's own grammar accepts
+    # these, so the clamp parser must too (ADVICE r6 regression)
+    assert ss._duration_seconds("1 hour 30 minutes") == 5400.0
+    assert ss._duration_seconds("interval 2 minutes 15 seconds") == 135.0
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ss._duration_seconds("ten minutes")
+    with _pytest.raises(ValueError):
+        ss._duration_seconds("1 hour 30")  # dangling quantity
