@@ -80,7 +80,21 @@ def _headline_mutex_enter() -> str | None:
             f.write(f"headline pid={os.getpid()} at={time.time()}")
         created = hold
     except FileExistsError:
-        pass  # someone else holds it; we must not remove it on exit
+        # a STALE hold (>1h, same threshold as the hunt's _held) is a
+        # crashed holder: the hunt already ignores it, so leaving it
+        # in place means NOBODY gates the hunt while we burn the box —
+        # exactly how r7 pairs 2-4 got self-load-contaminated. Take it
+        # over (refresh mtime, own the removal).
+        try:
+            if time.time() - os.path.getmtime(hold) >= 3600:
+                with open(hold, "w") as f:
+                    f.write(
+                        f"headline pid={os.getpid()} at={time.time()} "
+                        "(took over stale hold)"
+                    )
+                created = hold
+        except OSError:
+            pass  # live holder or vanished: either way, not ours
     except OSError:
         return None
     marker = os.path.join(bdir, ".pair_running")
@@ -929,6 +943,15 @@ def _hunt_summary(pairs: list) -> dict:
     pairs; steal≥2% pairs excluded when ≥3 clean remain), over the
     hunt's accumulated pair records."""
     STEAL_CUT = 2.0
+    pairs_in = pairs
+    # pairs that ran while the session itself was burning the box
+    # (hold-file gating failed — a stale hold is ignored by the hunt
+    # but blocked takeover until r7) are marked self_load_overlap at
+    # the moment of disclosure and excluded from BOTH the estimator
+    # and the clean count: the protocol's hold gate is equivalent to
+    # those pairs never launching. The marks are append-only in the
+    # artifact, with the overlapping jobs named.
+    pairs = [p for p in pairs if not p.get("self_load_overlap")]
     clean = [
         p for p in pairs
         if p["steal_pct_1"] < STEAL_CUT and p["steal_pct_4"] < STEAL_CUT
@@ -969,6 +992,9 @@ def _hunt_summary(pairs: list) -> dict:
             _median([p["eff"] for p in pairs]), 3
         ),
         "n_clean_pairs": len(clean),
+        "n_self_load_excluded": sum(
+            1 for p in pairs_in if p.get("self_load_overlap")
+        ),
         "wall_1x_local8_sec": round(med["wall_1"], 3),
         "wall_4x_local8_sec": round(med["wall_4"], 3),
         "docs_per_sec_1x": round(thr_1, 1),
@@ -1177,6 +1203,32 @@ def run_sf1() -> dict:
         result["coarse_provenance_flagged"] = all(
             p.distinct_confidence == "coarse_hll" for p in profs_c
         )
+        # quality path tiers (r7, VERDICT r6 #4): assess() on sf1
+        # orders — the quality_report_orders shape — at the exact
+        # parity tier vs the coarse HLL tier, so a 100 TB quality
+        # sweep has measured evidence the opt-out pays here too
+        from dataprof_spark.operators import quality
+
+        orders = spark.read.parquet(f"{sf1_dir}/orders.parquet")
+        t0 = time.perf_counter()
+        rep_p = quality.assess(
+            orders, key_col="o_orderkey", with_validity=True
+        )
+        result["assess_orders_parity_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        rep_c = quality.assess(
+            orders, key_col="o_orderkey", with_validity=True,
+            cardinality="coarse",
+        )
+        result["assess_orders_coarse_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        result["assess_distinct_confidence"] = {
+            "parity": rep_p.distinct_confidence,
+            "coarse": rep_c.distinct_confidence,
+        }
         spark.stop()
     finally:
         SF_DIR = old
@@ -1297,6 +1349,146 @@ def run_dedup_scale() -> dict:
     return out
 
 
+def run_dedup_stage_breakdown() -> dict:
+    """VERDICT r6 #3: locate the growing constant in near-dup
+    demotion. Times the FOUR sub-stages of mark_near_duplicates
+    separately at two corpus scales (default 80k and 800k docs, the
+    86k/864k decision tables), and records the candidate-pair and
+    verified-pair counts — candidates drive the verify cost, so the
+    counts tell quadratic-bucket growth apart from per-doc work.
+    Sub-stages:
+      s1 minhash+bands projection (text scan + signature compute)
+      s2 LSH bucket self-join -> distinct candidate pairs
+      s3 shingle-Jaccard verify of the candidates
+      s4 loser-distinct + demotion join back onto decisions
+    s2..s4 chain on persisted inputs so each window times ONE stage.
+    Writes BENCH/DEDUP_STAGES.json."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from dataprof_spark.operators import dedup, gates
+    from dataprof_spark.session import get_spark
+
+    # pause the session-spanning scaling hunt: a stage-timing window
+    # and a hunt pair on the same VM contaminate each other invisibly
+    _mutex = _headline_mutex_enter()
+    spark = get_spark(
+        app_name="bench_dedup_stages", master=f"local[{CPUS}]"
+    )
+    out: dict = {
+        "metric": "near_dup_stage_breakdown", "cpus": CPUS, "scales": {},
+    }
+    scales = tuple(
+        int(s) for s in os.environ.get(
+            "BENCH_DEDUP_SCALES", "80000,800000"
+        ).split(",")
+    )
+    for n in scales:
+        dec_dir = os.path.join(BENCH_CACHE, f"decisions_{n}_dup")
+        if not os.path.exists(os.path.join(dec_dir, "_DONE")):
+            global BENCH_DOCS
+            saved = BENCH_DOCS
+            BENCH_DOCS = n
+            try:
+                src_dir = ensure_bench_corpus(with_dups=True)
+            finally:
+                BENCH_DOCS = saved
+            pages = spark.read.parquet(src_dir)
+            gates.decide(pages).write.mode("overwrite").parquet(dec_dir)
+            open(os.path.join(dec_dir, "_DONE"), "w").close()
+        decisions = spark.read.parquet(dec_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_rows = decisions.count()
+        kept = decisions.filter(F.col("keep")).select(
+            "url", "scrubbed_text"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_kept = kept.count()
+        n_bands = dedup.bands_for_threshold(dedup.N_PERM_DEFAULT, 0.7)
+        row: dict = {"n_docs": n_rows, "n_kept": n_kept,
+                     "n_bands": n_bands}
+
+        def timed(name, fn, runs=2):
+            walls, res = [], None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                res = fn()
+                walls.append(round(time.perf_counter() - t0, 3))
+            row[name] = {"wall_sec": min(walls), "runs": walls}
+            return res
+
+        # s1: signature+band projection only (noop write = full scan)
+        def s1():
+            kept.select(
+                "url",
+                dedup.minhash_bands(
+                    dedup.minhash_signature(F.col("scrubbed_text")),
+                    n_bands,
+                ).alias("bands"),
+            ).write.format("noop").mode("overwrite").save()
+        timed("s1_minhash_bands", s1)
+
+        # s2: candidates (includes s1's compute — LSH reads the text)
+        pairs = dedup.lsh_candidate_pairs(
+            kept, id_col="url", text_col="scrubbed_text",
+            n_bands=n_bands,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        def s2():
+            return pairs.count()
+        row["n_candidates"] = timed("s2_lsh_candidates", s2, runs=1)
+
+        # s3: verify on the ALREADY-persisted candidate table
+        verified = dedup.ngram_jaccard_pairs(
+            kept, pairs, id_col="url", text_col="scrubbed_text",
+            threshold=0.7, materialize=False,
+        )
+
+        def s3():
+            return verified.count()
+        row["n_verified"] = timed("s3_jaccard_verify", s3)
+
+        # s4: loser distinct + demotion join back, full materialize
+        vc = verified.localCheckpoint(eager=True)
+
+        def s4():
+            losers = vc.select(
+                F.col("id_b").alias("url")
+            ).distinct().withColumn("__nd", F.lit(True))
+            (
+                decisions.join(losers, "url", "left")
+                .withColumn(
+                    "keep", F.col("keep") & F.col("__nd").isNull()
+                )
+                .drop("__nd")
+                .write.format("noop").mode("overwrite").save()
+            )
+        timed("s4_demotion_join", s4)
+        pairs.unpersist(blocking=True)
+        kept.unpersist(blocking=True)
+        decisions.unpersist(blocking=True)
+        out["scales"][str(n_rows)] = row
+    spark.stop()
+    _headline_mutex_exit(_mutex)
+    s = sorted(out["scales"].items(), key=lambda kv: int(kv[0]))
+    if len(s) >= 2:
+        (ak, a), (bk, b) = s[0], s[-1]
+        ratios = {
+            k: round(b[k]["wall_sec"] / max(a[k]["wall_sec"], 1e-9), 2)
+            for k in ("s1_minhash_bands", "s2_lsh_candidates",
+                      "s3_jaccard_verify", "s4_demotion_join")
+        }
+        ratios["doc_ratio"] = round(int(bk) / int(ak), 2)
+        ratios["candidate_ratio"] = round(
+            b["n_candidates"] / max(a["n_candidates"], 1), 2
+        )
+        out["scaleup"] = ratios
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/DEDUP_STAGES.json", "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def run_scaling_strike(out_path: str = "BENCH/scaling_strike_r6.json") -> dict:
     """Clean-window strike: ONE full production-weight executor
     protocol (the same pre-declared median-of-pairs estimator as
@@ -1346,6 +1538,8 @@ def F_col(name):
 if __name__ == "__main__":
     if "--dedup-scale" in sys.argv:
         print(json.dumps(run_dedup_scale()))
+    elif "--dedup-stages" in sys.argv:
+        print(json.dumps(run_dedup_stage_breakdown()))
     elif "--headline-hunt" in sys.argv:
         print(json.dumps(run_headline_hunt()))
     elif "--sf1" in sys.argv:

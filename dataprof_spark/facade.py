@@ -297,6 +297,7 @@ def profile(
                 use_approx_percentiles=use_approx_percentiles,
                 dimensions=quality_dimensions,
                 positive_columns=positive_columns,
+                cardinality=cardinality,
             )
         patterns_scanned = False
         if patterns:

@@ -38,7 +38,23 @@ def evaluate(
     positive_columns: list[str] | None = None,
     min_quality: float = 90.0,
     max_missing_pct: float = 5.0,
+    cardinality: str = "parity",
 ) -> GateResult:
+    """``cardinality`` (VERDICT r6 #4): 'parity' (default, exact
+    distinct counts — behavior unchanged) or 'coarse' (rsd=0.05 HLL,
+    the 100 TB sweep tier). Under 'coarse' the key-uniqueness check
+    accepts an estimate within 2×rsd of 1.0 — an exact ==1.0 against
+    a ±5% estimator would fail unique keys at random — and the
+    evidence records distinct_confidence='coarse_hll' so a reader
+    knows the check was approximate. 'off' is refused: this gate
+    EXISTS to check key uniqueness; silently passing it unchecked
+    would be the lie."""
+    if cardinality == "off":
+        raise ValueError(
+            "etl_gate.evaluate requires cardinality 'parity' or "
+            "'coarse': the key-uniqueness check cannot run with "
+            "distinct counting off"
+        )
     checks: dict[str, bool] = {}
     evidence: dict[str, object] = {}
 
@@ -51,7 +67,8 @@ def evaluate(
     # version issued a separate count job for key-nulls and one per
     # positive column (2+P extra scans, VERDICT r1 wrong-#5)
     rep = quality.assess(df, key_col=key_col,
-                         positive_columns=positive_columns)
+                         positive_columns=positive_columns,
+                         cardinality=cardinality)
     score = rep.overall_score * 100.0
     checks["quality_score"] = score >= min_quality
     evidence["quality_score"] = score
@@ -62,9 +79,17 @@ def evaluate(
 
     key_nulls = rep.details["uniqueness"].get("key_nulls", 0)
     key_uni = rep.details["uniqueness"].get("key_uniqueness")
-    checks["key_unique_non_null"] = key_nulls == 0 and key_uni == 1.0
+    if cardinality == "coarse":
+        from dataprof_spark import config
+
+        tol = 2.0 * config.HLL_RSD_COARSE
+        key_ok = key_uni is not None and key_uni >= 1.0 - tol
+    else:
+        key_ok = key_uni == 1.0
+    checks["key_unique_non_null"] = key_nulls == 0 and key_ok
     evidence["key_nulls"] = key_nulls
     evidence["key_uniqueness"] = key_uni
+    evidence["distinct_confidence"] = rep.distinct_confidence
 
     by_col = rep.details.get("accuracy", {}).get(
         "negatives_by_column", {}

@@ -47,6 +47,10 @@ class QualityReport:
     dimensions: dict[str, float] = field(default_factory=dict)
     details: dict[str, dict] = field(default_factory=dict)
     confidence: str = "exact"
+    # provenance of the uniqueness distinct counts — same 4-valued
+    # vocabulary as the profiler's per-column flag (VERDICT r6 #4):
+    # exact | hll | coarse_hll | not_computed
+    distinct_confidence: str = "exact"
 
     @property
     def overall_score(self) -> float:
@@ -72,7 +76,8 @@ def assess(df: DataFrame, key_col: str | None = None,
            use_approx_percentiles: bool = False,
            use_approx_distinct: bool = False,
            positive_columns: list[str] | None = None,
-           dimensions: list[str] | None = None) -> QualityReport:
+           dimensions: list[str] | None = None,
+           cardinality: str = "parity") -> QualityReport:
     """Compute ALL assessable dimensions (the reference's full
     7-dimension contract, quality.rs:135-161 + 340-411): completeness,
     consistency (type conformance + mixed date formats + mixed decimal
@@ -89,7 +94,28 @@ def assess(df: DataFrame, key_col: str | None = None,
     expands every row into the shuffle at 10^11 rows). Either flag
     records confidence="approx" — the reference's own exact-vs-approx
     provenance contract.
+
+    ``cardinality`` (VERDICT r6 #4 — the profiler's tier knob,
+    threaded through the quality path so a 100 TB sweep can skip the
+    rsd=0.008 pass here too):
+    - "parity" (default): behavior unchanged — exact countDistinct,
+      or rsd=0.008 HLL when ``use_approx_distinct=True``.
+    - "coarse": rsd=0.05 HLL (config.HLL_RSD_COARSE) regardless of
+      ``use_approx_distinct`` — ~(0.008/0.05)^2 ≈ 40× fewer HLL
+      registers per aggregate buffer.
+    - "off": no distinct aggregates at all; the uniqueness dimension
+      reports None (renormalized out of the overall score, never
+      counted perfect) and the key-uniqueness evidence is absent.
+    The tier used is recorded as ``report.distinct_confidence``
+    (exact | hll | coarse_hll | not_computed) and mirrored in
+    ``details['uniqueness']`` — the same 4-valued provenance the
+    profiler emits.
     """
+    if cardinality not in ("parity", "coarse", "off"):
+        raise ValueError(
+            f"cardinality must be 'parity', 'coarse' or 'off', "
+            f"got {cardinality!r}"
+        )
     if dimensions is None:
         want = set(_ALL_DIMENSIONS)
     else:
@@ -137,13 +163,25 @@ def assess(df: DataFrame, key_col: str | None = None,
     # don't knock the whole declarative agg off the codegen fast path
     # (profiler.py r3 note); exact countDistinct is declarative and
     # stays in the main agg.
-    if use_approx_distinct:
-        _distinct = lambda c: F.approx_count_distinct(c, rsd=0.008)  # noqa: E731
+    if cardinality == "coarse":
+        _distinct = lambda c: F.approx_count_distinct(  # noqa: E731
+            c, rsd=config.HLL_RSD_COARSE
+        )
         _distinct_sink = pct_aggs
+        distinct_conf = "coarse_hll"
+    elif use_approx_distinct:
+        _distinct = lambda c: F.approx_count_distinct(  # noqa: E731
+            c, rsd=config.HLL_RSD
+        )
+        _distinct_sink = pct_aggs
+        distinct_conf = "hll"
     else:
         _distinct = F.countDistinct
         _distinct_sink = aggs
-    if "uniqueness" in want:
+        distinct_conf = "exact"
+    if cardinality == "off":
+        distinct_conf = "not_computed"
+    if "uniqueness" in want and cardinality != "off":
         _distinct_sink.append(
             _distinct(
                 F.xxhash64(*[F.col(f_.name) for f_ in fields_])
@@ -274,19 +312,39 @@ def assess(df: DataFrame, key_col: str | None = None,
     # ---- uniqueness
     if "uniqueness" not in want:
         dup_rows = None  # section skipped
+    elif cardinality == "off":
+        dup_rows = None
+        # requested but not computed: report the dimension as None
+        # (renormalized out of the score) with honest provenance —
+        # silence would read as "unassessed", not "opted out"
+        report.dimensions["uniqueness"] = None
+        report.details["uniqueness"] = {
+            "distinct_confidence": "not_computed"
+        }
     else:
         dup_rows = total - row["__distinct_rows"]
+        if distinct_conf != "exact":
+            # HLL can overestimate (rsd 0.05 at the coarse tier), so
+            # the estimated duplicate count is floored at 0 — a
+            # negative duplicate count / >1.0 uniqueness is an
+            # estimator artifact, not a data property. Exact tier
+            # untouched (byte-identical oracle path).
+            dup_rows = max(0, dup_rows)
     if dup_rows is None:
         det = None
         uni = None
     else:
         uni = 1.0 - dup_rows / total
-        det = {"duplicate_rows": dup_rows}
+        det = {"duplicate_rows": dup_rows,
+               "distinct_confidence": distinct_conf}
     if dup_rows is not None and key_col:
         kn = row["__key_nn"]
         det["key_uniqueness"] = (
             row["__key_distinct"] / kn if kn else None
         )
+        if distinct_conf != "exact" and det["key_uniqueness"] is not None:
+            # same HLL-overestimate cap as duplicate_rows above
+            det["key_uniqueness"] = min(1.0, det["key_uniqueness"])
         det["key_nulls"] = total - kn
         if kn and det["key_uniqueness"] is not None:
             uni = min(uni, det["key_uniqueness"])
@@ -464,7 +522,10 @@ def assess(df: DataFrame, key_col: str | None = None,
                     "patterns": {n: d["name"] for n, d in doms.items()},
                 }
 
-    if use_approx_percentiles or use_approx_distinct:
+    if "uniqueness" in want:
+        report.distinct_confidence = distinct_conf
+    if (use_approx_percentiles or use_approx_distinct
+            or cardinality == "coarse"):
         report.confidence = "approx"
 
     # ---- timeliness

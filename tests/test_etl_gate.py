@@ -94,3 +94,71 @@ def test_excess_missing_cells_rejected(spark):
     )
     assert not res.accepted
     assert not res.checks["missing_cells"]
+
+
+# ------------------------------------------------------------------
+# Cardinality tiers through the quality/gate path (VERDICT r6 #4):
+# a 100 TB sweep can opt the uniqueness distinct counts down to the
+# coarse HLL (or off entirely in assess), with the profiler's
+# 4-valued distinct_confidence provenance carried in the report.
+# ------------------------------------------------------------------
+def test_gate_coarse_tier_accepts_unique_keys(spark):
+    res = etl_gate.evaluate(
+        _df(spark, GOOD),
+        key_col="transaction_id",
+        positive_columns=["amount_eur"],
+        cardinality="coarse",
+    )
+    assert res.accepted, res.evidence
+    assert res.evidence["distinct_confidence"] == "coarse_hll"
+
+
+def test_gate_coarse_tier_still_rejects_duplicate_keys(spark):
+    # 25% duplicated keys is far outside the 2*rsd tolerance band
+    rows = GOOD + [("t1", "acc9", 5.0, "2026-01-09")] * 2
+    res = etl_gate.evaluate(
+        _df(spark, rows), key_col="transaction_id",
+        cardinality="coarse",
+    )
+    assert not res.checks["key_unique_non_null"], res.evidence
+
+
+def test_gate_refuses_cardinality_off(spark):
+    with pytest.raises(ValueError, match="coarse"):
+        etl_gate.evaluate(
+            _df(spark, GOOD), key_col="transaction_id",
+            cardinality="off",
+        )
+
+
+def test_assess_cardinality_tiers(spark):
+    from dataprof_spark.operators import quality
+
+    df = _df(spark, GOOD)
+    exact = quality.assess(df, key_col="transaction_id")
+    assert exact.distinct_confidence == "exact"
+    assert exact.details["uniqueness"]["distinct_confidence"] == "exact"
+
+    coarse = quality.assess(
+        df, key_col="transaction_id", cardinality="coarse"
+    )
+    assert coarse.distinct_confidence == "coarse_hll"
+    assert coarse.confidence == "approx"
+    # 4 distinct rows: HLL is exact at this cardinality, and the
+    # overestimate clamp keeps the ratio in [0, 1]
+    ku = coarse.details["uniqueness"]["key_uniqueness"]
+    assert 0.9 <= ku <= 1.0
+
+    off = quality.assess(
+        df, key_col="transaction_id", cardinality="off"
+    )
+    assert off.distinct_confidence == "not_computed"
+    assert off.dimensions["uniqueness"] is None
+    assert off.details["uniqueness"] == {
+        "distinct_confidence": "not_computed"
+    }
+    # None dimensions renormalize out — never counted as perfect
+    assert 0.0 < off.overall_score <= 1.0
+
+    with pytest.raises(ValueError, match="parity"):
+        quality.assess(df, cardinality="bogus")
