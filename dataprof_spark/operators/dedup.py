@@ -156,9 +156,24 @@ def lsh_candidate_pairs(
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 band bucket.
 
     Plan shape: one projection (signatures) → explode bands →
-    self-join on (band_idx, band_hash) → distinct pairs. The join key
-    is a hash bucket, so co-located after one shuffle each side;
-    nothing quadratic ever materializes.
+    checkpoint → self-join on (band_idx, band_hash) → distinct pairs.
+    The join key is a hash bucket, so co-located after one shuffle
+    each side; nothing quadratic ever materializes.
+
+    The exploded band table is eagerly localCheckpoint-ed before the
+    self-join. Without it, BOTH join sides carry the full
+    text-scan → shingle → minhash subtree: the repartition exchange
+    is NOT reused (measured r7 — AQE converts the self-join to
+    broadcast, and even under a forced shuffle join the two exchanges
+    don't canonicalize equal), so the corpus text is read and
+    signatures computed twice per run. At 100 TB that is a second
+    full-corpus scan; the checkpointed band table is ~4 short rows
+    per document. Same executor-loss durability trade as the Jaccard
+    verify step's checkpoint (a lost executor re-runs the stage from
+    the checkpoint, not the lineage), measured 13.5 → 9.2 s on the
+    80k-doc bench corpus at local[32]. The shuffle_hash hint keeps
+    AQE from broadcast-collecting a relation that is O(corpus) rows —
+    SF-scaled, so the same rule as PLANS.md:12 applies.
     """
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -166,16 +181,15 @@ def lsh_candidate_pairs(
             minhash_signature(F.col(text_col), n_perm), n_bands, n_perm
         ).alias("bands"),
     )
-    # explicit repartition on the join keys: the self-join would
-    # otherwise evaluate the minhash subtree once per SIDE; with the
-    # exchange in place Spark plans a ReusedExchange for the second
-    # side, so signatures are computed exactly once per document —
-    # and the join needs this exact hash partitioning anyway
-    exploded = sig.select(
-        "id", F.posexplode("bands").alias("band_idx", "band_hash")
-    ).repartition("band_idx", "band_hash")
+    exploded = (
+        sig.select(
+            "id", F.posexplode("bands").alias("band_idx", "band_hash")
+        )
+        .repartition("band_idx", "band_hash")
+        .localCheckpoint(eager=True)
+    )
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    b = exploded.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
