@@ -36,6 +36,9 @@ MERSENNE_31 = (1 << 31) - 1
 N_PERM_DEFAULT = 16
 N_BANDS_DEFAULT = 4  # 4 rows/band at 16 perms
 SHINGLE_K = 3  # word 3-grams
+# Band buckets larger than this are star-reduced (members pair with
+# the min-id hub only) instead of all-pairs — see lsh_candidate_pairs.
+MAX_BUCKET_DEFAULT = 64
 
 
 def bands_for_threshold(n_perm: int, threshold: float) -> int:
@@ -152,13 +155,30 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     n_perm: int = N_PERM_DEFAULT,
     n_bands: int = N_BANDS_DEFAULT,
+    max_bucket: int = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 band bucket.
 
     Plan shape: one projection (signatures) → explode bands →
-    checkpoint → self-join on (band_idx, band_hash) → distinct pairs.
-    The join key is a hash bucket, so co-located after one shuffle
-    each side; nothing quadratic ever materializes.
+    checkpoint → per-bucket size/hub agg → self-join on
+    (band_idx, band_hash) for normal buckets ∪ hub-star pairs for
+    oversized ones → distinct pairs. The join key is a hash bucket,
+    so co-located after one shuffle each side; nothing quadratic
+    ever materializes.
+
+    Oversized-bucket guard (r7): a band bucket with m members emits
+    m(m-1)/2 pairs, and degenerate buckets GROW WITH THE CORPUS —
+    measured on the bench corpus, one boilerplate/short-doc bucket
+    went 59 → 600 members at 10× docs (~linear), so its pair count
+    grew ~100× (~quadratic): 41% of all candidates at 864k docs came
+    from 3 buckets. At 10^12 docs that one bucket class IS the job.
+    Buckets with more than `max_bucket` members are star-reduced:
+    every member pairs with the bucket's min-id hub only (m-1 pairs).
+    A homogeneous dup cluster still demotes fully (all members verify
+    against the hub → all but hub lose); what is given up is
+    member↔member links in MIXED oversized buckets, which the other
+    n_bands-1 bands still get a chance at — the standard web-scale
+    dedup trade. The DuckDB oracle mirrors the rule exactly.
 
     The exploded band table is eagerly localCheckpoint-ed before the
     self-join. Without it, BOTH join sides carry the full
@@ -173,7 +193,9 @@ def lsh_candidate_pairs(
     the checkpoint, not the lineage), measured 13.5 → 9.2 s on the
     80k-doc bench corpus at local[32]. The shuffle_hash hint keeps
     AQE from broadcast-collecting a relation that is O(corpus) rows —
-    SF-scaled, so the same rule as PLANS.md:12 applies.
+    SF-scaled, so the same rule as PLANS.md:12 applies. The
+    bucket-stats join rides the same partitioning (groupBy on the
+    repartition keys → no extra exchange for the agg side).
     """
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -188,20 +210,28 @@ def lsh_candidate_pairs(
         .repartition("band_idx", "band_hash")
         .localCheckpoint(eager=True)
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b").hint("shuffle_hash")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .distinct()
+    stats = exploded.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bsz"), F.min("id").alias("hub")
     )
+    tagged = exploded.join(stats, ["band_idx", "band_hash"])
+    small = tagged.filter(F.col("bsz") <= max_bucket)
+    a = small.alias("a")
+    b = small.select("band_idx", "band_hash", "id").alias("b").hint(
+        "shuffle_hash"
+    )
+    all_pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    star_pairs = (
+        tagged.filter(
+            (F.col("bsz") > max_bucket) & (F.col("id") != F.col("hub"))
+        )
+        .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -420,9 +420,11 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer —
-    a 4-way join (fact ⋈ fact + two broadcast dims) with a top-20.
-    Plan: orders⋈lineitem shuffle on orderkey; customer and nation
-    broadcast; TakeOrderedAndProject for the top-20."""
+    a 4-way join (fact ⋈ fact + dims) with a top-20.
+    Plan: orders⋈lineitem shuffle on orderkey; nation (25 rows, true
+    constant) broadcast by hint; customer is SF-scaled so AQE sizes
+    it (BHJ at small SF, SMJ at 100× — PLANS.md:12 rule);
+    TakeOrderedAndProject for the top-20."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -2531,7 +2533,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "sample_multistage": (sample_multistage, MULTISTAGE_SQL),
         "keep_rate_by_source": (keep_rate_by_source, _keep_rate_sql()),
         "vocab_top_terms": (vocab_top_terms, VOCAB_SQL),
-        "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+        # (doc_fingerprint retired r7: its rolling-hash kernel is the
+        # same polynomial hash doc_winnow_fingerprints oracle-verifies
+        # per k-gram window; stays locally verified via full_registry)
         "doc_winnow_fingerprints": (
             doc_winnow_fingerprints, WINNOW_SQL,
         ),
@@ -2555,6 +2559,11 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "q21_sole_return_supplier": (
             q21_sole_return_supplier, Q21_SQL,
         ),
+        # r7: promoted back (VERDICT r6 #5) so the broadcast-hint
+        # removal on the retired q10/q14/q15 family gets a driver
+        # correctness row for its shape (bcast-join agg topN under
+        # AQE sizing); slot freed by doc_fingerprint (see below)
+        "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
         # -- events / analytics --------------------------------------
         "sessionize_events_batch": (
             sessionize_events_batch, SESSIONIZE_SQL,
@@ -2644,9 +2653,12 @@ def retired_registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "q12_priority_shipping": (q12_priority_shipping, Q12_SQL),
         "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-        "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
         "q22_idle_customers": (q22_idle_customers, Q22_SQL),
         "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+        # r7: doc_fingerprint retired to free the slot for q10's
+        # promotion — its rolling polynomial hash is byte-identical
+        # to the per-window hash WINNOW_SQL verifies on every doc
+        "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
         "pattern_summary_orders": (pattern_summary_orders, None),
         **{k: dedup_reg[k] for k in sorted(_RETIRED_DEDUP)},
     }

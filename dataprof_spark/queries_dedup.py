@@ -95,11 +95,24 @@ WITH base AS (
   SELECT doc_id, sh, unnest([{bands}]) AS band_hash,
          unnest(range(1, {N_BANDS} + 1)) AS band_idx
   FROM sigs
+), bstats AS (
+  SELECT band_idx, band_hash, count(*) AS bsz, min(doc_id) AS hub
+  FROM bands GROUP BY band_idx, band_hash
 ), cand AS (
+  -- normal buckets: all pairs; oversized buckets (> max_bucket):
+  -- star-reduced to (hub, member) — mirrors lsh_candidate_pairs
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
+  JOIN bstats c
+    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
+  WHERE c.bsz <= {dedup.MAX_BUCKET_DEFAULT}
+  UNION
+  SELECT DISTINCT c.hub AS id_a, b.doc_id AS id_b
+  FROM bands b JOIN bstats c
+    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+  WHERE c.bsz > {dedup.MAX_BUCKET_DEFAULT} AND b.doc_id != c.hub
 )
 SELECT id_a, id_b,
        round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0

@@ -132,3 +132,33 @@ def test_simhash_single_pass_parity(spark):
             .cast("long"))).alias("b"),
     ).filter(~F.col("a") | ~F.col("b")).count()
     assert mismatches == 0
+
+
+def test_oversized_bucket_star_reduction(spark):
+    """A band bucket past MAX_BUCKET star-reduces to (hub, member)
+    pairs: m-1 links instead of m(m-1)/2, so a corpus-growing
+    boilerplate bucket stays linear. A homogeneous clone cluster must
+    still fully demote through the hub; small buckets keep all-pairs
+    semantics (the DuckDB twin mirrors the rule — oracle-checked via
+    near_dup_pairs)."""
+    m = dedup.MAX_BUCKET_DEFAULT + 36  # one bucket, past the cap
+    clones = [(i, BASE) for i in range(m)]
+    others = [(1000, NEAR), (1001, OTHER)]
+    docs = spark.createDataFrame(
+        clones + others, "doc_id long, text string"
+    )
+    pairs = dedup.lsh_candidate_pairs(docs).collect()
+    star = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < 1000}
+    # identical texts share every band -> ONE logical cluster; star
+    # reduction keeps exactly m-1 pairs, all anchored at hub id 0
+    assert star == {(0, i) for i in range(1, m)}
+    # near-dup outside the capped bucket still pairs with the hub
+    # (NEAR differs by one word; its bucket stays small) — presence
+    # is probabilistic per band but holds for this fixture
+    assert any(r["id_b"] == 1000 for r in pairs)
+    # verify + demotion: every clone but the hub loses
+    verified = dedup.ngram_jaccard_pairs(
+        docs, dedup.lsh_candidate_pairs(docs), threshold=0.99
+    )
+    losers = {r["id_b"] for r in verified.collect() if r["jaccard"] == 1.0}
+    assert losers == set(range(1, m))
