@@ -1428,13 +1428,26 @@ def run_dedup_stage_breakdown() -> dict:
             ).write.format("noop").mode("overwrite").save()
         timed("s1_minhash_bands", s1)
 
-        # s2: candidates (includes s1's compute — LSH reads the text)
-        pairs = dedup.lsh_candidate_pairs(
-            kept, id_col="url", text_col="scrubbed_text",
-            n_bands=n_bands,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # s2: candidate table build END-TO-END — includes the eager
+        # localCheckpoint of the exploded band table, which executes
+        # at PLAN-BUILD time inside lsh_candidate_pairs (r7 fix: the
+        # first breakdown built the plan between the s1/s2 windows,
+        # so ~2/3 of the real candidate cost — the signature compute
+        # feeding the checkpoint — was attributed to no stage and the
+        # stage sum understated the pipeline wall ~2x). s1 remains
+        # the pure projection cost of the same signatures for
+        # reference; s2 repeats that compute from the CACHED kept
+        # table, so s1+s2+s3+s4 ≈ the cached-input pipeline wall.
+        pairs = None
 
         def s2():
+            nonlocal pairs
+            if pairs is not None:
+                pairs.unpersist(blocking=True)
+            pairs = dedup.lsh_candidate_pairs(
+                kept, id_col="url", text_col="scrubbed_text",
+                n_bands=n_bands,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             return pairs.count()
         row["n_candidates"] = timed("s2_lsh_candidates", s2, runs=1)
 
