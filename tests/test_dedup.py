@@ -162,3 +162,46 @@ def test_oversized_bucket_star_reduction(spark):
     )
     losers = {r["id_b"] for r in verified.collect() if r["jaccard"] == 1.0}
     assert losers == set(range(1, m))
+
+
+def test_star_reduction_subset_property(spark):
+    """On a mixed corpus (several clone clusters straddling the cap,
+    near-dups, and unrelated docs), the star-reduced candidate set is
+    a SUBSET of the unreduced all-pairs set (a hub shares its bucket
+    with every member, so (hub, member) exists unreduced too), and
+    every candidate lost to the reduction is a member<->member link
+    inside an oversized bucket — never a pair involving a hub and
+    never a pair from a small bucket."""
+    cap = dedup.MAX_BUCKET_DEFAULT
+    rows = []
+    nid = 0
+    # cluster A: past the cap; cluster B: exactly at the cap (small)
+    for text, m in ((BASE, cap + 20), (OTHER, cap)):
+        for _ in range(m):
+            rows.append((nid, text)); nid += 1
+    rows += [(nid, NEAR), (nid + 1, "totally unrelated words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    reduced = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            docs, max_bucket=1 << 30
+        ).collect()
+    }
+    assert reduced <= full
+    lost = full - reduced
+    a_ids = set(range(cap + 20))  # cluster A doc ids (hub = 0)
+    near_id = 2 * cap + 20  # NEAR shares A's band buckets sometimes
+    # every loss is a member<->member link inside A's oversized
+    # buckets (NEAR may sit in them too); no loss touches the hub,
+    # and all of A's member<->member links are lost
+    a_members = (a_ids - {0}) | {near_id}
+    assert all(i in a_members and j in a_members for i, j in lost)
+    assert {(i, j) for i in a_ids for j in a_ids
+            if 0 < i < j} <= lost
+    # cluster B (at the cap, not past it) keeps full all-pairs
+    b_ids = set(range(cap + 20, cap + 20 + cap))
+    assert {(i, j) for i in b_ids for j in b_ids if i < j} <= reduced
