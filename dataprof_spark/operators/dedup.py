@@ -180,22 +180,32 @@ def lsh_candidate_pairs(
     n_bands-1 bands still get a chance at — the standard web-scale
     dedup trade. The DuckDB oracle mirrors the rule exactly.
 
-    The exploded band table is eagerly localCheckpoint-ed before the
-    self-join. Without it, BOTH join sides carry the full
-    text-scan → shingle → minhash subtree: the repartition exchange
-    is NOT reused (measured r7 — AQE converts the self-join to
-    broadcast, and even under a forced shuffle join the two exchanges
-    don't canonicalize equal), so the corpus text is read and
-    signatures computed twice per run. At 100 TB that is a second
-    full-corpus scan; the checkpointed band table is ~4 short rows
-    per document. Same executor-loss durability trade as the Jaccard
-    verify step's checkpoint (a lost executor re-runs the stage from
-    the checkpoint, not the lineage), measured 13.5 → 9.2 s on the
-    80k-doc bench corpus at local[32]. The shuffle_hash hint keeps
-    AQE from broadcast-collecting a relation that is O(corpus) rows —
-    SF-scaled, so the same rule as PLANS.md:12 applies. The
-    bucket-stats join rides the same partitioning (groupBy on the
-    repartition keys → no extra exchange for the agg side).
+    The exploded band table is eagerly localCheckpoint-ed IN ITS
+    NATURAL PARTITIONING before the self-join. Without the
+    checkpoint, BOTH join sides carry the full
+    text-scan → shingle → minhash subtree (measured r7 — AQE converts
+    the self-join to broadcast, and even under a forced shuffle join
+    the two exchanges don't canonicalize equal), so the corpus text
+    is read and signatures computed twice per run. At 100 TB that is
+    a second full-corpus scan; the checkpointed band table is ~4
+    short rows per document. A pre-checkpoint
+    repartition(band_idx, band_hash) was measured and REMOVED (r7):
+    the checkpoint's RDD scan reports no outputPartitioning, so the
+    layout is forgotten and every consumer re-exchanges anyway — the
+    extra full shuffle of the O(corpus×bands) table bought nothing
+    (paired trials at 864k docs: equal-or-better without it, byte-
+    identical pairs). Downstream, each consumer exchanges the slim
+    checkpoint rows on the band keys and AQE reuses those exchanges
+    where sides coincide. Same executor-loss durability trade as the
+    Jaccard verify step's checkpoint (a lost executor re-runs the
+    stage from the checkpoint, not the lineage), measured 13.5 →
+    9.2 s on the 80k-doc bench corpus at local[32]. The shuffle_hash
+    hint keeps AQE from broadcast-collecting a relation that is
+    O(corpus) rows — SF-scaled, so the same rule as PLANS.md:12
+    applies. (AQE may still broadcast the exploded side of the
+    bucket-stats TAG join when its runtime size is small — that is
+    the safe direction: a runtime size check, not a hint, so it
+    degrades to a shuffle join at scale.)
     """
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -203,13 +213,9 @@ def lsh_candidate_pairs(
             minhash_signature(F.col(text_col), n_perm), n_bands, n_perm
         ).alias("bands"),
     )
-    exploded = (
-        sig.select(
-            "id", F.posexplode("bands").alias("band_idx", "band_hash")
-        )
-        .repartition("band_idx", "band_hash")
-        .localCheckpoint(eager=True)
-    )
+    exploded = sig.select(
+        "id", F.posexplode("bands").alias("band_idx", "band_hash")
+    ).localCheckpoint(eager=True)
     stats = exploded.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("bsz"), F.min("id").alias("hub")
     )
