@@ -20,22 +20,36 @@ N_BANDS = 4
 
 
 # ------------------------------------------------------------ DuckDB SQL
+
+
+def _ddb_shingle_hashes(k: int = dedup.SHINGLE_K) -> str:
+    """Hashed-shingle expression over a relation exposing `toks` —
+    mirrors dedup.shingle_hashes term-for-term (word md5 hashes
+    folded with SHINGLE_COMBINE mod MERSENNE_31; string fallback for
+    sub-k docs). Expects `whs` (word-hash list) in scope."""
+    m, c = dedup.MERSENNE_31, dedup.SHINGLE_COMBINE
+    fold = f"(whs[i] % {m})"
+    for off in range(1, k):
+        fold = f"(({fold} * {c} + whs[i + {off}]) % {m})"
+    return f"""
+      CASE WHEN len(toks) >= {k} THEN
+        list_distinct(list_transform(
+          range(1, len(toks) - {k} + 2), i -> {fold}))
+      WHEN len(toks) > 0 THEN
+        [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 8))::BIGINT
+         % {m}]
+      ELSE []::BIGINT[] END
+    """
+
+
+_DDB_WORD_HASHES = (
+    "list_transform(toks, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)"
+)
 def _ddb_minhash_sql() -> str:
     """Per-doc minhash values as columns mh0..mh{N_PERM-1}."""
     fam = dedup._hash_family(N_PERM)
     toks = (
         "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
-    )
-    shingles = f"""
-      CASE WHEN len(toks) >= {dedup.SHINGLE_K} THEN
-        list_distinct(list_transform(
-          range(1, len(toks) - {dedup.SHINGLE_K} + 2),
-          i -> array_to_string(toks[i:i+{dedup.SHINGLE_K - 1}], ' ')))
-      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-      ELSE []::VARCHAR[] END
-    """
-    hashes = (
-        "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
     )
     mh_cols = ",\n       ".join(
         f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % "
@@ -45,9 +59,9 @@ def _ddb_minhash_sql() -> str:
     return f"""
 SELECT doc_id, {mh_cols}
 FROM (
-  SELECT doc_id, {hashes} AS hs
+  SELECT doc_id, ({_ddb_shingle_hashes()}) AS hs
   FROM (
-    SELECT doc_id, ({shingles}) AS sh
+    SELECT doc_id, toks, {_DDB_WORD_HASHES} AS whs
     FROM (SELECT doc_id, {toks} AS toks FROM documents)
   )
 ) ORDER BY doc_id
@@ -85,10 +99,13 @@ def _ddb_near_dup_sql(threshold: float = 0.5) -> str:
     """
     return f"""
 WITH base AS (
-  SELECT doc_id, ({shingles}) AS sh,
-         list_transform(({shingles}), s ->
-           ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
-  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+  -- sh: true string shingles (Jaccard verify); hs: the string-free
+  -- hashed shingles feeding minhash (mirrors dedup.shingle_hashes)
+  SELECT doc_id, ({shingles}) AS sh, ({_ddb_shingle_hashes()}) AS hs
+  FROM (
+    SELECT doc_id, toks, {_DDB_WORD_HASHES} AS whs
+    FROM (SELECT doc_id, {toks} AS toks FROM documents)
+  )
 ), sigs AS (
   SELECT doc_id, sh, [{mins}] AS sig FROM base
 ), bands AS (
