@@ -89,27 +89,20 @@ def _ddb_near_dup_sql(threshold: float = 0.5) -> str:
     toks = (
         "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
     )
-    shingles = f"""
-      CASE WHEN len(toks) >= {dedup.SHINGLE_K} THEN
-        list_distinct(list_transform(
-          range(1, len(toks) - {dedup.SHINGLE_K} + 2),
-          i -> array_to_string(toks[i:i+{dedup.SHINGLE_K - 1}], ' ')))
-      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-      ELSE []::VARCHAR[] END
-    """
     return f"""
 WITH base AS (
-  -- sh: true string shingles (Jaccard verify); hs: the string-free
-  -- hashed shingles feeding minhash (mirrors dedup.shingle_hashes)
-  SELECT doc_id, ({shingles}) AS sh, ({_ddb_shingle_hashes()}) AS hs
+  -- hs: string-free hashed shingles (mirrors dedup.shingle_hashes);
+  -- BOTH the minhash signature and the Jaccard verify run on the
+  -- hashed sets (r7 — same Jaccard modulo 31-bit collisions)
+  SELECT doc_id, ({_ddb_shingle_hashes()}) AS hs
   FROM (
     SELECT doc_id, toks, {_DDB_WORD_HASHES} AS whs
     FROM (SELECT doc_id, {toks} AS toks FROM documents)
   )
 ), sigs AS (
-  SELECT doc_id, sh, [{mins}] AS sig FROM base
+  SELECT doc_id, [{mins}] AS sig FROM base
 ), bands AS (
-  SELECT doc_id, sh, unnest([{bands}]) AS band_hash,
+  SELECT doc_id, unnest([{bands}]) AS band_hash,
          unnest(range(1, {N_BANDS} + 1)) AS band_idx
   FROM sigs
 ), bstats AS (
@@ -132,14 +125,14 @@ WITH base AS (
   WHERE c.bsz > {dedup.MAX_BUCKET_DEFAULT} AND b.doc_id != c.hub
 )
 SELECT id_a, id_b,
-       round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
-         THEN (len(sa.sh) + len(sb.sh)
-               - len(list_distinct(sa.sh || sb.sh)))::DOUBLE
-              / len(list_distinct(sa.sh || sb.sh))
+       round(CASE WHEN len(list_distinct(sa.hs || sb.hs)) > 0
+         THEN (len(sa.hs) + len(sb.hs)
+               - len(list_distinct(sa.hs || sb.hs)))::DOUBLE
+              / len(list_distinct(sa.hs || sb.hs))
          ELSE 0.0 END, 6) AS jaccard
 FROM cand
-JOIN (SELECT doc_id, sh FROM base) sa ON cand.id_a = sa.doc_id
-JOIN (SELECT doc_id, sh FROM base) sb ON cand.id_b = sb.doc_id
+JOIN (SELECT doc_id, hs FROM base) sa ON cand.id_a = sa.doc_id
+JOIN (SELECT doc_id, hs FROM base) sb ON cand.id_b = sb.doc_id
 WHERE jaccard >= {threshold}
 ORDER BY id_a, id_b
 """
