@@ -41,7 +41,9 @@ def _pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataprof_spark.operators import gates
     from dataprof_spark.session import rebalance
 
-    docs = rebalance(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = rebalance(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+    )
     pages = docs.select(
         F.col("doc_id").cast("string").alias("url"), "text", "lang"
     )

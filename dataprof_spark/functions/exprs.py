@@ -208,6 +208,105 @@ def heuristic_reason(c: Column, *, english: Column | bool = True) -> Column:
     return bind_once(c, _reason)
 
 
+def heuristic_reason_and_pnum(
+    c: Column, *, english: Column | bool, weights: dict[str, float]
+) -> Column:
+    """Fused gate cascade + text-only quality-score terms:
+    struct(reason STRING, pnum DOUBLE) where pnum is the
+    weighted sum of the four text-derived dimensions
+    (completeness/consistency/uniqueness/accuracy — validity is added
+    by the caller from the langid UDF output, timeliness from the
+    timestamp column).
+
+    Why it exists (r8): gates.decide computed heuristic_reason AND
+    quality_score_col as two separate expression trees — Catalyst has
+    no CSE across them, so the word-run regex, mojibake regex,
+    symbol translate and line split each ran TWICE per document
+    (measured sf1.0: full decide 1.19 s vs 0.80 s for the sum of its
+    stages — the gap is the duplicated signal pass). Here every
+    signal is computed ONCE into a bound struct and both outputs
+    derive from it. The score needs symr/moji/dupf for every row
+    anyway, so the eager struct wastes nothing.
+
+    Term order and arithmetic mirror quality_score_col / the labeler
+    (core.gates.quality_score) exactly: left-associated
+    completeness→consistency→uniqueness→accuracy weighted sum, so
+    (pnum + validity*w)/den is bit-identical to the old composition.
+    NULL text is treated as '' for ALL terms — matching the labeler's
+    ``text = text or ''`` (the old quality_score_col's
+    least(1.0, NULL) quirk rated a NULL text's completeness 1.0
+    where the labeler rates it 0.0; no fixture carries NULL text, and
+    the labeler is the parity contract for this path)."""
+    c0 = F.coalesce(c, F.lit(""))
+    eng = F.lit(english) if isinstance(english, bool) else english
+
+    def _outer(t: Column) -> Column:
+        words = F.regexp_extract_all(F.lower(t), F.lit(WORD_PAT), F.lit(0))
+
+        def _sig(ws: Column) -> Column:
+            return F.struct(
+                F.size(ws).cast("long").alias("wc"),
+                F.length(F.concat_ws("", ws)).cast("long").alias(
+                    "letters"
+                ),
+                F.size(
+                    F.filter(ws, lambda x: x.isin(*config.STOPWORDS_EN))
+                ).cast("long").alias("stop"),
+                symbol_ratio(t).alias("symr"),
+                ellipsis_count(t).alias("ell"),
+                mojibake_count(t).alias("moji"),
+                dup_line_fraction(t).alias("dupf"),
+            )
+
+        return bind_once(words, lambda ws: bind_once(_sig(ws), _from))
+
+    def _from(s: Column) -> Column:
+        wc = s["wc"]
+        mwl = F.when(wc > 0, s["letters"] / wc).otherwise(F.lit(0.0))
+        reason = (
+            F.when(s["moji"] > 0, F.lit("garbled_encoding"))
+            .when(wc < config.MIN_WORDS, F.lit("too_short"))
+            .when(
+                (mwl < config.MEAN_WORD_LEN_MIN)
+                | (mwl > config.MEAN_WORD_LEN_MAX),
+                F.lit("mean_word_length"),
+            )
+            .when(
+                s["symr"] > config.MAX_SYMBOL_RATIO, F.lit("symbol_ratio")
+            )
+            .when(
+                s["ell"] / wc > config.MAX_ELLIPSIS_PER_WORD,
+                F.lit("ellipsis_ratio"),
+            )
+            .when(
+                eng & (s["stop"] < config.MIN_STOPWORD_COUNT),
+                F.lit("stopword_ratio"),
+            )
+            .when(
+                s["dupf"] > config.MAX_DUP_LINE_FRACTION,
+                F.lit("dup_line_fraction"),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+        completeness = F.least(
+            F.lit(1.0), wc / F.lit(float(config.MIN_WORDS))
+        )
+        consistency = F.when(s["moji"] > 0, 0.0).otherwise(1.0)
+        uniqueness = F.lit(1.0) - s["dupf"]
+        accuracy = F.lit(1.0) - F.least(
+            F.lit(1.0), s["symr"] / F.lit(config.MAX_SYMBOL_RATIO)
+        )
+        pnum = (
+            completeness * weights["completeness"]
+            + consistency * weights["consistency"]
+            + uniqueness * weights["uniqueness"]
+            + accuracy * weights["accuracy"]
+        )
+        return F.struct(reason.alias("reason"), pnum.alias("pnum"))
+
+    return bind_once(c0, _outer)
+
+
 def token_set_hits(c: Column, words: tuple[str, ...]) -> Column:
     """Count whitespace-split lowercase tokens that are in `words`.
 

@@ -70,7 +70,13 @@ def _hash_family(n: int) -> list[tuple[int, int]]:
 
 def shingles(c: Column, k: int = SHINGLE_K) -> Column:
     """Distinct word k-shingles of lowercased text (native: split +
-    transform + array_distinct; empty-safe)."""
+    transform + array_distinct; empty-safe).
+
+    REFERENCE/TEST-ONLY (r8, ADVICE r7): the production path hashes
+    shingles without materializing the strings (shingle_hashes below);
+    this string variant exists as the readable definition the hashed
+    fold mirrors and for tests that compare against a Python
+    reimplementation. No production operator calls it."""
     toks = F.filter(F.split(F.lower(c), r"\s+", -1), lambda x: x != "")
     n = F.size(toks)
     # indices 0..n-k inclusive → n-k+1 shingles (sequence is inclusive)
@@ -128,8 +134,9 @@ def shingle_hashes(c: Column, k: int = SHINGLE_K) -> Column:
     collision statistics; the DuckDB oracle mirrors the formula
     term-for-term. Fallback for docs shorter than k words matches the
     string path (md5 of the space-joined tokens, reduced mod M).
-    Jaccard verification is unaffected — it still compares true
-    string shingle sets (`shingles`)."""
+    The Jaccard verify (ngram_jaccard_pairs) runs on these SAME
+    hashed sets since r7 — see its docstring for the collision
+    caveat and bias direction."""
     toks = F.filter(F.split(F.lower(c), r"\s+", -1), lambda x: x != "")
     n = F.size(toks)
     word_hashes = F.transform(toks, shingle_hash)

@@ -215,14 +215,27 @@ def decide(
     # Model config resolved HERE (driver, plan time) and shipped in the
     # UDF closure — see the factory comment above make_langid_udf.
     enrich = make_enrich_udf()
+    # r8: ONE fused native pass computes the gate cascade AND the
+    # text-derived quality-score terms (exprs.heuristic_reason_and_pnum
+    # — the separate heuristic_reason + quality_score_col trees ran
+    # the word/mojibake/symbol/line signal passes twice per document;
+    # Catalyst has no CSE across expression trees). Validity and
+    # timeliness are attached below from the UDF output / ts column
+    # with the identical arithmetic quality_score_col uses.
+    english = (
+        F.col(lang_col) == "en" if lang_col is not None else F.lit(True)
+    )
+    fused = exprs.heuristic_reason_and_pnum(
+        c, english=english, weights=config.QUALITY_WEIGHTS
+    )
     sig = df.withColumns(
         {
-            "heur_reason": heuristic_reason_col(text_col, lang_col),
+            "_hs": fused,
             "_py": enrich(c),  # ONE fused Arrow/Python pass
         }
     )
     reason = (
-        F.when(F.col("heur_reason").isNotNull(), F.col("heur_reason"))
+        F.when(F.col("_hs.reason").isNotNull(), F.col("_hs.reason"))
         .when(
             F.col("_py.pred_lang") != F.col(lang_col),
             F.lit("lang_mismatch"),
@@ -233,16 +246,37 @@ def decide(
         )
         .otherwise(F.lit(None).cast("string"))
     )
+    # score = (pnum + validity·w [+ timeliness·w]) / den — the same
+    # left-associated composition quality_score_col builds, with the
+    # four text dimensions pre-folded into _hs.pnum by the fused pass.
+    w = config.QUALITY_WEIGHTS
+    validity = F.when(
+        F.col("_py.pred_lang") == F.col(lang_col), 1.0
+    ).otherwise(0.0)
+    num = F.col("_hs.pnum") + validity * w["validity"]
+    den = F.lit(
+        w["completeness"] + w["consistency"] + w["uniqueness"]
+        + w["accuracy"] + w["validity"]
+    )
+    if ts_col is not None:
+        ts = F.col(ts_col)
+        year = F.year(ts)
+        timeliness = (
+            F.when(year > now_year, 0.0)
+            .when(year < now_year - config.STALE_YEARS, 0.5)
+            .otherwise(1.0)
+        )
+        # NULL timestamp = dimension unassessed (renormalized) —
+        # identical to quality_score_col's handling.
+        w_t = F.when(ts.isNull(), F.lit(0.0)).otherwise(
+            F.lit(float(w["timeliness"]))
+        )
+        num = num + F.coalesce(timeliness, F.lit(1.0)) * w_t
+        den = den + w_t
     out = sig.withColumns(
         {
             "drop_reason": reason,
-            "quality_score": quality_score_col(
-                text_col,
-                lang_col,
-                ts_col,
-                now_year,
-                pred_lang=F.col("_py.pred_lang"),
-            ),
+            "quality_score": num / den,
         }
     )
     return out.select(

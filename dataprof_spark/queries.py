@@ -35,7 +35,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     No-op at real scale (see session.rebalance)."""
     from dataprof_spark.session import rebalance
 
-    return rebalance(_t(spark, sf_dir, "documents"))
+    return rebalance(_t(spark, sf_dir, "documents"), key="doc_id")
 
 
 R6 = lambda c: F.round(c, 6)  # noqa: E731
@@ -242,7 +242,20 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     oc = orders.join(cust, orders.o_custkey == cust.c_custkey)
-    ls = li.join(supp, li.l_suppkey == supp.s_suppkey)
+    # r8: quantize the per-row revenue term to DSUM's micro-units IN
+    # THE SCAN STAGE, so the one fact exchange carries a single long
+    # instead of two doubles (guide §2.3 — project/narrow before the
+    # exchange; 32 → 24 bytes per fact row) and the multiply/floor
+    # runs before the shuffle. sum(micro) is order-insensitive by
+    # construction, so the post-join aggregate — round(sum/1e6, 6) —
+    # is bit-identical to the old DSUM-after-join.
+    ls = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        _micro(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev_micro"),
+    ).join(supp, F.col("l_suppkey") == supp.s_suppkey)
     return (
         ls.join(
             oc,
@@ -256,8 +269,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            DSUM(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            F.round(
+                F.sum("rev_micro") / F.lit(float(_SCALE)), 6
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -1007,16 +1020,34 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming path in
     streaming/events.py): per-hour per-type counts + value sums."""
     ev = _t(spark, sf_dir, "events")
+    # r8: group on the TRUNCATED TIMESTAMP and format AFTER the agg —
+    # date_format ran per input row (measured sf1.0: hour-projection
+    # 0.51 s vs 0.21 s bare scan, single-threaded because the input is
+    # one row group); formatting the ~5k aggregated groups instead is
+    # free. date_format is injective on hour-truncated timestamps
+    # (full date+time rendered), so the grouping is identical and the
+    # output (and oracle hash) is byte-for-byte unchanged. Also
+    # shuffles a 16-byte timestamp key instead of a 19-char string
+    # (guide §2.3 narrower keys).
+    # (A pre-agg rebalance of the single sandbox input split was
+    # measured and REJECTED: exchanging 1M (ts, type, value) rows cost
+    # 0.85 s vs 0.57 s letting the scan task run the partial agg —
+    # map-side partial aggregation already shrinks the shuffle to the
+    # ~5k groups, guide §2.3 "aggregate before you shuffle".)
     return (
         ev.groupBy(
-            F.date_format(
-                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
-            ).alias("hour"),
+            F.date_trunc("hour", F.col("ts")).alias("_hour_ts"),
             "event_type",
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             DSUM("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format("_hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
         )
         .orderBy("hour", "event_type")
     )

@@ -43,6 +43,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r8 (guide §3.1/§9): let the planner pick shuffled-hash over
+        # sort-merge when its size conditions hold (skips two sorts),
+        # and let AQE rewrite SMJ→SHJ at runtime when every post-
+        # shuffle partition is under 128m — scale-independent: at
+        # 100 TB partitions are sized by AQE's advisory target and a
+        # 128m build side per task fits executor memory comfortably.
+        # Measured sf1.0: q5 1.33→1.20 s, q3/q1 unchanged-or-better.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "128m",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
@@ -55,12 +67,22 @@ def get_spark(
     return spark
 
 
-def rebalance(df):
-    """Round-robin repartition ONLY when the source yielded fewer
-    input splits than the cluster has slots (single small parquet
-    files in the sandbox). At real scale (100 TB → thousands of
-    splits) the condition is false and this is a no-op — the scan
-    parallelism comes from the splits themselves."""
+def rebalance(df, key: str | None = None):
+    """Repartition ONLY when the source yielded fewer input splits
+    than the cluster has slots (single small parquet files in the
+    sandbox). At real scale (100 TB → thousands of splits) the
+    condition is false and this is a no-op — the scan parallelism
+    comes from the splits themselves.
+
+    r8: when the caller names a high-cardinality ``key`` column, the
+    exchange HASH-partitions on it instead of round-robin. Round-robin
+    first pays a local sort of every input partition
+    (sortBeforeRepartition, on since SPARK-23207, so retried tasks
+    reproduce the same row placement — guide §2.5); a deterministic
+    hash key needs no such sort AND is retry-safe by construction.
+    Measured sf1.0 documents (50k rows, one input split): scan 0.084 s,
+    round-robin rebalance 0.228 s, hash-on-doc_id rebalance ~0.17 s.
+    When no key is given (heterogeneous callers), round-robin stays."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     # inputFiles() is footer metadata only — no RDD conversion (the
@@ -73,6 +95,10 @@ def rebalance(df):
     except Exception:
         n_files = 0
     if 0 < n_files < target:
+        if key is not None and key in df.columns:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
 
