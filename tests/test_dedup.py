@@ -205,3 +205,88 @@ def test_star_reduction_subset_property(spark):
     # cluster B (at the cap, not past it) keeps full all-pairs
     b_ids = set(range(cap + 20, cap + 20 + cap))
     assert {(i, j) for i in b_ids for j in b_ids if i < j} <= reduced
+
+
+def test_simhash_star_reduction(spark):
+    """r8 (VERDICT r7 #1a): a degenerate (chunk_idx, chunk) bucket
+    past MAX_BUCKET star-reduces to (hub, member) pairs — the same
+    rule lsh_candidate_pairs applies to band buckets. A homogeneous
+    clone cluster still yields every member linked to the hub
+    (hamming 0), so demotion through the hub is complete."""
+    m = dedup.MAX_BUCKET_DEFAULT + 36
+    clones = [(i, BASE) for i in range(m)]
+    others = [(1000, NEAR), (1001, OTHER)]
+    docs = spark.createDataFrame(
+        clones + others, "doc_id long, text string"
+    )
+    pairs = dedup.simhash_pairs(docs).collect()
+    star = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < 1000}
+    assert star == {(0, i) for i in range(1, m)}
+    assert all(r["hamming"] == 0 for r in pairs if r["id_b"] < 1000)
+
+
+def test_simhash_star_reduction_subset_property(spark):
+    """Star-reduced simhash pairs are a SUBSET of the unreduced set;
+    every loss is a member<->member link inside an oversized chunk
+    bucket (never a hub pair, never a small-bucket pair), and a
+    cluster exactly AT the cap keeps all-pairs semantics."""
+    cap = dedup.MAX_BUCKET_DEFAULT
+    rows = []
+    nid = 0
+    for text, m in ((BASE, cap + 20), (OTHER, cap)):
+        for _ in range(m):
+            rows.append((nid, text))
+            nid += 1
+    rows += [(nid, NEAR), (nid + 1, "totally unrelated words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    reduced = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, max_bucket=1 << 30).collect()
+    }
+    assert reduced <= full
+    lost = {(i, j) for i, j, _h in full - reduced}
+    a_ids = set(range(cap + 20))  # cluster A (hub = 0)
+    near_id = 2 * cap + 20  # NEAR may share chunk buckets with A
+    a_members = (a_ids - {0}) | {near_id}
+    assert all(i in a_members and j in a_members for i, j in lost)
+    assert {(i, j) for i in a_ids for j in a_ids if 0 < i < j} <= lost
+    # cluster B (exactly at the cap) keeps full all-pairs
+    b_ids = set(range(cap + 20, cap + 20 + cap))
+    assert {(i, j) for i in b_ids for j in b_ids if i < j} <= {
+        (i, j) for i, j, _h in reduced
+    }
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """VERDICT r7 #5: reliable=True routes every lineage cut through
+    DataFrame.checkpoint into the session's checkpoint dir (HDFS in
+    production; a local dir here) instead of executor-local
+    localCheckpoint blocks, and produces identical results. Trade:
+    localCheckpoint dies with an executor (stage re-fails);
+    checkpoint survives executor loss — at 1000 executors x hours
+    the loss is the common case, so production callers opt in."""
+    rows = [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE), (4, BASE)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    default = {
+        tuple(r) for r in dedup.near_dup_minhash(
+            docs, threshold=0.5
+        ).collect()
+    }
+    durable = {
+        tuple(r) for r in dedup.near_dup_minhash(
+            docs, threshold=0.5, reliable=True
+        ).collect()
+    }
+    assert default == durable and len(durable) > 0
+    sp = {
+        tuple(r) for r in dedup.simhash_pairs(docs, reliable=True
+                                              ).collect()
+    }
+    assert sp == {
+        tuple(r) for r in dedup.simhash_pairs(docs).collect()
+    }

@@ -153,10 +153,18 @@ def test_near_dup_cache_lifecycle_is_scoped(spark, rows):
     for _ in range(2):
         out = dedup_stage.mark_near_duplicates(dec, threshold=0.6)
         out.count()
-        # at most ONE extra persisted entry may exist while the result
-        # is alive (its localCheckpoint); the candidate cache must
-        # already be gone
-        assert persisted_count() <= baseline + 1
+        # at most TWO extra persisted entries may exist while the
+        # result is alive: its own localCheckpoint and the exploded
+        # band table's (whose release is asynchronous — ContextCleaner
+        # after a JVM GC). The candidate cache — the one
+        # MEMORY_AND_DISK persist whose lineage pins the corpus-join
+        # subtree — must already be gone (blocking unpersist inside
+        # ngram_jaccard_pairs). r8 note: the old `baseline + 1` bound
+        # silently depended on a JVM GC having happened between the
+        # checkpoint and this assert — it raced, and lost when the
+        # test ran standalone on a quiet heap (same failure at the r7
+        # commit); the drain loop below is the leak check.
+        assert persisted_count() <= baseline + 2
         del out
 
     gc.collect()
@@ -164,4 +172,9 @@ def test_near_dup_cache_lifecycle_is_scoped(spark, rows):
     while persisted_count() > baseline and time.time() < deadline:
         time.sleep(0.5)
         gc.collect()
+        # ContextCleaner only reclaims checkpoint RDDs after a JVM
+        # GC; on a quiet heap none happens within 30 s, so ask for
+        # one (test-only — production sessions run long enough that
+        # periodic/natural GCs do this).
+        spark.sparkContext._jvm.System.gc()
     assert persisted_count() <= baseline
