@@ -238,3 +238,55 @@ def test_ivf_cell_assignment_deterministic_across_layouts(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_near_dup_guard_auto_default(spark):
+    """r8 (VERDICT r7 #3): the skew guard defaults ON with an
+    occupancy-RELATIVE cap — max(64, 8·n/2^planes). On a uniformly
+    loaded corpus the cap never fires (output identical to
+    max_bucket_size=None at every scale — the embedding_near_dups
+    oracle row stays green by construction); on a corpus with one
+    degenerate bucket (≫ 8× expected occupancy) it sub-buckets
+    exactly there, and identical vectors keep all their pairs."""
+    rng = np.random.default_rng(11)
+    # uniform corpus: auto == unguarded
+    uni = [(i, rng.standard_normal(64).tolist()) for i in range(300)]
+    df_u = spark.createDataFrame(
+        uni, "vec_id long, embedding array<double>"
+    )
+    auto_pairs = {
+        tuple(r) for r in similarity.embedding_near_dup_pairs(
+            df_u, threshold=0.8, n_planes=4
+        ).collect()
+    }
+    off_pairs = {
+        tuple(r) for r in similarity.embedding_near_dup_pairs(
+            df_u, threshold=0.8, n_planes=4, max_bucket_size=None
+        ).collect()
+    }
+    assert auto_pairs == off_pairs
+    # degenerate corpus: 600 near-identical vectors in one bucket
+    # (n=800, planes=4 -> expected occupancy 50, cap 400 < 600)
+    base = rng.standard_normal(64)
+    rows = [(i, (base + rng.standard_normal(64) * 1e-9).tolist())
+            for i in range(600)]
+    rows += [(1000 + i, rng.standard_normal(64).tolist())
+             for i in range(200)]
+    df_d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            df_d, threshold=0.99, n_planes=4
+        ).collect()
+    }
+    unguarded = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            df_d, threshold=0.99, n_planes=4, max_bucket_size=None
+        ).collect()
+    }
+    dup_pairs = {(a, b) for a in range(600) for b in range(600) if a < b}
+    assert dup_pairs <= guarded
+    assert guarded <= unguarded
