@@ -208,6 +208,60 @@ def heuristic_reason(c: Column, *, english: Column | bool = True) -> Column:
     return bind_once(c, _reason)
 
 
+def textstats_struct(c: Column) -> Column:
+    """All doc_textstats signals as ONE bound struct (r8): the
+    column-per-signal form ran the word-run regex, the letter
+    translate and the symbol translate twice each (the ratio columns
+    re-derive their numerators; Catalyst has no CSE across projection
+    expressions). Field values are bit-identical to the standalone
+    functions, including NULL-text propagation (counts NULL, ratios
+    0.0 — no coalesce here, unlike the gate path). Consumers must
+    reference the struct column ONCE and expand fields in a SECOND
+    projection; CollapseProject refuses to merge a multi-referenced
+    non-cheap alias (SPARK-36718), so the struct is evaluated once
+    per row."""
+
+    def _outer(t: Column) -> Column:
+        words = F.regexp_extract_all(F.lower(t), F.lit(WORD_PAT), F.lit(0))
+
+        def _sig(ws: Column) -> Column:
+            return F.struct(
+                F.size(ws).cast("long").alias("wc"),
+                letter_count(t).alias("letters"),
+                symbol_count(t).alias("symbols"),
+                ellipsis_count(t).alias("ell"),
+                F.size(
+                    F.filter(ws, lambda x: x.isin(*config.STOPWORDS_EN))
+                ).cast("long").alias("stop"),
+                line_count(t).alias("lines"),
+                F.length(t).alias("n"),
+            )
+
+        return bind_once(words, lambda ws: bind_once(_sig(ws), _from))
+
+    def _from(s: Column) -> Column:
+        wc = s["wc"]
+        return F.struct(
+            wc.alias("word_count"),
+            s["letters"].alias("letter_count"),
+            s["symbols"].alias("symbol_count"),
+            s["ell"].alias("ellipsis_count"),
+            s["stop"].alias("stopword_count"),
+            s["lines"].alias("line_count"),
+            F.round(
+                F.when(wc > 0, s["letters"] / wc).otherwise(F.lit(0.0)), 6
+            ).alias("mean_word_length"),
+            F.round(
+                F.when(s["n"] > 0, s["symbols"] / s["n"]).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("symbol_ratio"),
+        )
+
+    return bind_once(c, _outer)
+
+
 def heuristic_reason_and_pnum(
     c: Column, *, english: Column | bool, weights: dict[str, float]
 ) -> Column:
@@ -329,11 +383,27 @@ def stopword_langid(c: Column) -> Column:
     The per-language hit counts are computed ONCE into a bound array
     (bind_once): the naive when-chain re-inlined every language's
     split+filter AND the max into every branch — O(n_langs²)
-    tokenizations per document."""
+    tokenizations per document. r8: the TOKENIZATION is also bound
+    once — the per-language token_set_hits each re-split the text, so
+    every document was tokenized n_langs times for one token array
+    (sf1.0 paired, expression-level: 0.381 → 0.313 s median); the
+    per-language work is now just the membership filter over the
+    shared array."""
     langs = sorted(config.STOPWORDS_BY_LANG)
-    scores_arr = F.array(*[
-        token_set_hits(c, config.STOPWORDS_BY_LANG[l]) for l in langs
-    ])
+    toks = F.split(F.lower(c), r"\s+", -1)
+
+    def scores_from(ts: Column) -> Column:
+        return F.array(*[
+            F.size(
+                F.filter(
+                    ts,
+                    lambda x: x.isin(*config.STOPWORDS_BY_LANG[l]),
+                )
+            ).cast("long")
+            for l in langs
+        ])
+
+    scores_arr = bind_once(toks, scores_from)
 
     def pick(s: Column) -> Column:
         mx = F.array_max(s)

@@ -188,14 +188,18 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = orders.join(
         cust, orders.o_custkey == cust.c_custkey, "left_semi"
     )
+    # r8: group on the RAW o_orderdate and format after the LIMIT —
+    # date_format ran per joined fact row as a groupBy key (6M rows at
+    # sf1.0); o_orderdate is functionally dependent on l_orderkey
+    # (orders PK), so the groups — and the revenue ordering, which
+    # never touches the date — are identical, and the string (still
+    # the declared output: engines disagree on timestamp tz-awareness,
+    # strings hash identically everywhere) is rendered for exactly 10
+    # rows. The agg exchange also carries an 8-byte timestamp instead
+    # of a 10-char string (guide §2.3).
     return (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
-        .groupBy(
-            "l_orderkey",
-            # timestamp outputs go out as strings: engines disagree on
-            # tz-awareness, strings hash identically everywhere
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-        )
+        .groupBy("l_orderkey", "o_orderdate")
         .agg(
             DSUM(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -203,6 +207,13 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            "revenue",
+        )
     )
 
 
@@ -1391,19 +1402,26 @@ def pattern_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Document / web-text queries (the pipeline's own operator family)
 # =====================================================================
 def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality signals, all native expressions."""
+    """Per-document quality signals, all native expressions.
+
+    r8: one fused signal struct (exprs.textstats_struct) — the
+    column-per-signal form ran the word regex / letter translate /
+    symbol translate twice each (ratio columns re-derived their
+    numerators). Struct selected once, fields expanded in a second
+    projection (CollapseProject keeps the single evaluation —
+    SPARK-36718); values bit-identical, oracle SQL unchanged."""
     docs = _docs(spark, sf_dir)
-    c = F.col("text")
-    return docs.select(
+    s = exprs.textstats_struct(F.col("text"))
+    return docs.select("doc_id", s.alias("_s")).select(
         "doc_id",
-        exprs.word_count(c).alias("word_count"),
-        exprs.letter_count(c).alias("letter_count"),
-        exprs.symbol_count(c).alias("symbol_count"),
-        exprs.ellipsis_count(c).alias("ellipsis_count"),
-        exprs.stopword_count(c).alias("stopword_count"),
-        exprs.line_count(c).alias("line_count"),
-        R6(exprs.mean_word_length(c)).alias("mean_word_length"),
-        R6(exprs.symbol_ratio(c)).alias("symbol_ratio"),
+        F.col("_s.word_count").alias("word_count"),
+        F.col("_s.letter_count").alias("letter_count"),
+        F.col("_s.symbol_count").alias("symbol_count"),
+        F.col("_s.ellipsis_count").alias("ellipsis_count"),
+        F.col("_s.stopword_count").alias("stopword_count"),
+        F.col("_s.line_count").alias("line_count"),
+        F.col("_s.mean_word_length").alias("mean_word_length"),
+        F.col("_s.symbol_ratio").alias("symbol_ratio"),
     )
 
 
@@ -1428,15 +1446,21 @@ FROM documents ORDER BY doc_id
 
 
 def doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic keep/drop cascade (SQL-expressible subset) per doc."""
+    """Heuristic keep/drop cascade (SQL-expressible subset) per doc.
+
+    r8: the cascade is projected ONCE and `keep` derives from the
+    projected column — the single-select form inlined the whole gate
+    expression tree twice (keep and drop_reason); paired alternating
+    runs at sf1.0: 0.659 → 0.538 s median (mins 0.499 → 0.462),
+    byte-identical."""
     docs = _docs(spark, sf_dir)
     reason = exprs.heuristic_reason(
         F.col("text"), english=F.col("lang") == "en"
     )
-    return docs.select(
+    return docs.select("doc_id", reason.alias("drop_reason")).select(
         "doc_id",
-        reason.isNull().alias("keep"),
-        reason.alias("drop_reason"),
+        F.col("drop_reason").isNull().alias("keep"),
+        "drop_reason",
     )
 
 
@@ -1586,13 +1610,21 @@ FROM documents ORDER BY doc_id
 
 
 def doc_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-expressible stopword-langid + agreement with claimed lang."""
+    """SQL-expressible stopword-langid + agreement with claimed lang.
+
+    r8: the prediction is projected ONCE and the agreement derives
+    from the projected column in a second select — the single-select
+    form inlined the whole langid expression tree twice (pred_lang
+    and lang_agree; CollapseProject keeps the split because the alias
+    is multi-referenced and non-cheap, SPARK-36718)."""
     docs = _docs(spark, sf_dir)
     pred = exprs.stopword_langid(F.col("text"))
     return docs.select(
+        "doc_id", pred.alias("pred_lang"), "lang"
+    ).select(
         "doc_id",
-        pred.alias("pred_lang"),
-        (pred == F.col("lang")).alias("lang_agree"),
+        "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).alias("lang_agree"),
     )
 
 
@@ -1663,11 +1695,18 @@ def dedup_demotion_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason = exprs.heuristic_reason(
         F.col("text"), english=F.col("lang") == "en"
     )
+    # r8: project the cascade once, derive keep from the projected
+    # column (two-step select — same single-evaluation fix as
+    # doc_gates; the old shape inlined the gate tree twice per row)
     decisions = pages.select(
         "url",
         F.col("text").alias("scrubbed_text"),
-        reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
+    ).select(
+        "url",
+        "scrubbed_text",
+        F.col("drop_reason").isNull().alias("keep"),
+        "drop_reason",
     )
     out = dedup_stage.mark_exact_duplicates(decisions)
     return out.select("url", "keep", "drop_reason").orderBy("url")
